@@ -1,0 +1,5 @@
+from comm_detect_spark.operators.components import connected_components  # noqa: F401
+from comm_detect_spark.operators.lpa import lpa_sync  # noqa: F401
+from comm_detect_spark.operators.modularity import modularity_score  # noqa: F401
+from comm_detect_spark.operators.pagerank import pagerank  # noqa: F401
+from comm_detect_spark.operators.triangles import triangle_counts  # noqa: F401

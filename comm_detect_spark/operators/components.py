@@ -1,0 +1,83 @@
+"""Connected components: iterative min-label propagation with pointer
+jumping (SURVEY Table C — component id = min vid in component, exact).
+
+Per round, over adjacency entries (both directions present):
+
+    nbr_min  = edges ⋈ comp(src) -> groupBy(dst).min      -- hash agg
+    comp'    = min(comp, nbr_min)
+    comp''   = comp' ⋈ comp'  (pointer jump: comp[comp])   -- vertex-sized join
+
+Pointer jumping gives O(log d) rounds on diameter-d graphs — the difference
+between ~10 and ~1000 shuffles on a web graph. The heavyweight per-round
+work (edge-sized join+agg) is the same shape as one PageRank step, so the
+same skew/AQE story applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from comm_detect_spark.graph.core import vertex_range
+from comm_detect_spark.plans.driver import IterationDriver
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int | None = None,
+    max_iter: int = 50,
+    driver: IterationDriver | None = None,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Returns (vid BIGINT, comp BIGINT), comp = min vid in component."""
+    drv = driver or IterationDriver()
+    if vertices is not None:
+        verts = vertices.select("vid").distinct()
+    else:
+        assert n is not None
+        verts = vertex_range(spark, n)
+    e = edges.select("src", "dst").persist()
+    e.count()
+
+    comp = drv.start(verts.withColumn("comp", F.col("vid")))
+    for it in range(1, max_iter + 1):
+        nbr_min = (
+            e.join(comp.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = comp.join(nbr_min, "vid", "left").select(
+            "vid",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp <- comp[comp] (labels only shrink)
+        jump = merged.alias("a").join(
+            merged.select(
+                F.col("vid").alias("comp"), F.col("comp").alias("jcomp")
+            ).alias("b"),
+            "comp",
+            "left",
+        )
+        new_comp = jump.select(
+            "vid",
+            F.least(F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        new_comp = drv.prepare(new_comp, it)
+        # one action: fills the cache AND counts changed component ids
+        changed = (
+            new_comp.withColumnRenamed("comp", "c2")
+            .join(comp, "vid")
+            .where(F.col("c2") != F.col("comp"))
+            .count()
+        )
+        comp = drv.install(new_comp, it, changed=changed)
+        if changed == 0:
+            break
+    out = drv.finish(it)
+    e.unpersist()
+    return out

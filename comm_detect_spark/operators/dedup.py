@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines (round brief:
+first-class components alongside SURVEY §2).
+
+Five families, all shuffle-shaped for 100 TB:
+
+* exact          — md5-of-normalized-text groupBy; one shuffle on a 64-bit
+                   key, min-id representative (deterministic keep rule).
+* minhash_lsh    — shingle -> k minhashes -> b bands -> band-bucket join;
+                   only bucket collisions are pairwise-verified. The
+                   candidate join is an equi-join on (band, signature-slice
+                   hash): linear in collisions, never all-pairs.
+* simhash        — 64-bit simhash from md5-hashed shingles; Hamming-ball
+                   candidates via d+1 block keys (pigeonhole: any pair
+                   within Hamming distance d shares one of d+1 blocks).
+* ngram_jaccard  — exact Jaccard on shingle sets via shared-shingle
+                   self-join + |A|,|B| counts (inverted-index shape: the
+                   join is on shingle, so cost ~ sum of posting-list^2,
+                   bounded by dropping ultra-common shingles).
+* embedding near-dup — cosine >= threshold via the similarity module.
+
+Everything is md5-based so the DuckDB oracle can reproduce signatures
+bit-for-bit (Spark: conv(substring(md5(x),1,15),16,10); DuckDB:
+CAST(CONCAT('0x', SUBSTRING(md5(x),1,15)) AS BIGINT)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(c):
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def _h60(c) -> F.Column:
+    """60-bit deterministic hash of a string column (md5-prefix)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle): distinct k-word shingles of the normalized text."""
+    toks = F.split(_norm(F.col(text_col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, keep_id, content_hash): groups of byte-equal (after whitespace/
+    case normalization) docs; keep_id = min id of the group."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), _h60(_norm(F.col(text_col))).alias("content_hash")
+    )
+    keep = hashed.groupBy("content_hash").agg(F.min("id").alias("keep_id"))
+    return hashed.join(keep, "content_hash").select("id", "keep_id", "content_hash")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, h: 0..num_hashes-1, minhash). Hash family i is
+    md5(shingle || '#' || i) — deterministic, oracle-reproducible."""
+    sh = shingles(df, id_col, text_col, k)
+    hashes = sh.select(
+        "id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(num_hashes)])
+        ).alias("h"),
+        F.col("shingle"),
+    ).select(
+        "id",
+        "h",
+        _h60(
+            F.concat(F.col("shingle"), F.lit("#"), F.col("h").cast("string"))
+        ).alias("hv"),
+    )
+    return hashes.groupBy("id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that collide in >=1 LSH band.
+    rows_per_band = num_hashes // bands."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # bucket key: minhashes of the band concatenated in h order — built so
+    # the DuckDB oracle can produce the identical string
+    # (string_agg(minhash, ',' ORDER BY h))
+    banded = (
+        sig.withColumn("band", (F.col("h") / rows).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                        lambda x: x["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, simhash BIGINT): 60-bit simhash — per bit, sign of the sum of
+    (+1/-1) votes from each shingle's md5-prefix hash."""
+    sh = shingles(df, id_col, text_col, k).select(
+        "id", _h60(F.col("shingle")).alias("hv")
+    )
+    bits = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("hv"),
+    ).select(
+        "id",
+        "bit",
+        # SQL expr: pyspark's shiftright() only takes a literal shift amount
+        F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    agg = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return agg.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs (id_a < id_b, jaccard >= threshold).
+    Inverted-index join on shingle; ``max_doc_freq`` drops shingles shared
+    by too many docs (the hub-key guard — at web scale a boilerplate shingle
+    would otherwise produce a quadratic bucket)."""
+    sh = shingles(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

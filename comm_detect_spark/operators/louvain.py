@@ -1,0 +1,252 @@
+"""Louvain-style modularity refinement (PLM — plm.cc), Spark-native.
+
+Level structure (Recursive_comm_detect, plm.cc:336-412):
+    singleton init -> local-move sweeps -> [moved?] coarsen -> recurse
+    -> prolong (label composition, plm.cc:174-185)
+
+Local move is the Arrow-CSR block kernel (csr.py): per sweep, gather each
+endpoint's label + volume + community volume via three vertex-sized joins,
+block by pmod(src, num_blocks), run the oracle's ``local_move_sweep``
+(dQ per plm.cc:192-242 with weight_sq = 2*weight_net, strict dQ > 0,
+lowest-label tie pin) sequentially inside each block. Community volumes are
+exact at sweep start (groupBy recompute — the bulk-sync analogue of
+plm.cc:306-311's incremental critical section) and incrementally maintained
+within a block during the sweep.
+
+Coarsen (plm.cc:48-171) is two hash joins + one hash agg:
+    edges ⋈ labels(src) ⋈ labels(dst) -> groupBy(c_src, c_dst).sum(weight)
+— Spark's partial+final aggregation replaces the reference's thread-local
+maps + tree merge. weight_net is invariant across levels (plm.cc:151).
+Levels shrink geometrically, so late levels auto-broadcast under AQE.
+
+num_blocks=1 reproduces oracle.louvain exactly (same kernel, same order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from comm_detect_spark.graph.core import vertex_range, volumes_df, weight_net
+from comm_detect_spark.operators.csr import build_block_csr
+from comm_detect_spark.oracle.algorithms import local_move_sweep
+from comm_detect_spark.plans.driver import IterationDriver
+
+_OUT_SCHEMA = "vid BIGINT, label BIGINT"
+
+
+def _make_kernel(w_net: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes, adj, ext_vids, _ = build_block_csr(pdf)
+        m = nodes.size
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        _, first_src = np.unique(src, return_index=True)
+        labels = np.empty(adj.n, dtype=np.int64)
+        labels[:m] = pdf["src_label"].to_numpy(dtype=np.int64)[first_src]
+        vol = np.zeros(adj.n, dtype=np.int64)
+        vol[:m] = pdf["src_vol"].to_numpy(dtype=np.int64)[first_src]
+        if ext_vids.size:
+            order = np.argsort(dst, kind="stable")
+            ext_pos = np.searchsorted(dst[order], ext_vids)
+            labels[m:] = pdf["dst_label"].to_numpy(dtype=np.int64)[order][ext_pos]
+        # community volumes: every community referenced by this block
+        # (own labels + neighbor labels), exact at sweep start
+        comm_vol: dict[int, int] = {}
+        src_cv = pdf["src_comm_vol"].to_numpy(dtype=np.int64)
+        dst_cv = pdf["dst_comm_vol"].to_numpy(dtype=np.int64)
+        src_lab = pdf["src_label"].to_numpy(dtype=np.int64)
+        dst_lab = pdf["dst_label"].to_numpy(dtype=np.int64)
+        for lab_arr, cv_arr in ((src_lab, src_cv), (dst_lab, dst_cv)):
+            uniq, idx = np.unique(lab_arr, return_index=True)
+            for u, i in zip(uniq, idx):
+                comm_vol[int(u)] = int(cv_arr[i])
+        local_move_sweep(
+            adj, labels, vol, comm_vol, w_net, nodes=np.arange(m, dtype=np.int64)
+        )
+        return pd.DataFrame({"vid": nodes, "label": labels[:m]})
+
+    return kernel
+
+
+def _local_move_step(
+    edges: DataFrame, state: DataFrame, vols: DataFrame, w_net: int, num_blocks: int
+) -> DataFrame:
+    comm_vols = (
+        state.join(vols, "vid")
+        .groupBy("label")
+        .agg(F.sum("vol").alias("comm_vol"))
+    )
+    st = state.join(vols, "vid").join(comm_vols, "label")
+    gathered = (
+        edges.join(
+            st.select(
+                F.col("vid").alias("src"),
+                F.col("label").alias("src_label"),
+                F.col("vol").alias("src_vol"),
+                F.col("comm_vol").alias("src_comm_vol"),
+            ),
+            "src",
+        )
+        .join(
+            st.select(
+                F.col("vid").alias("dst"),
+                F.col("label").alias("dst_label"),
+                F.col("comm_vol").alias("dst_comm_vol"),
+            ),
+            "dst",
+        )
+        .withColumn("block", F.pmod(F.col("src"), F.lit(num_blocks)))
+    )
+    moved = gathered.groupBy("block").applyInPandas(
+        _make_kernel(w_net), _OUT_SCHEMA
+    )
+    return state.join(
+        moved.withColumnRenamed("label", "new_label"), "vid", "left"
+    ).select(
+        "vid", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+    )
+
+
+def _dense_relabel(state: DataFrame) -> DataFrame:
+    """Dense 0..k-1 ids in ascending label order (deterministic pin of
+    plm.cc:245-262). The window runs over the DISTINCT label set (community
+    count, shrinks geometrically) — not over vertices."""
+    distinct = state.select("label").distinct()
+    mapping = distinct.withColumn(
+        "new_label",
+        F.row_number().over(Window.orderBy("label")).cast("bigint") - 1,
+    )
+    return state.join(mapping, "label").select(
+        "vid", F.col("new_label").alias("label")
+    )
+
+
+def _local_move(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    w_net: int,
+    eps: float,
+    num_blocks: int,
+    driver: IterationDriver | None,
+    max_sweeps: int | None = None,
+) -> tuple[DataFrame, int]:
+    drv = driver or IterationDriver()
+    vols = volumes_df(edges).persist()
+    vols.count()
+    state = drv.start(vertex_range(spark, n).withColumn("label", F.col("vid")))
+    threshold = int(n * eps)
+    iterations, updated, unstable = 0, n, True
+    while unstable and updated > threshold:
+        if max_sweeps is not None and iterations >= max_sweeps:
+            break
+        iterations += 1
+        new_state = drv.prepare(
+            _local_move_step(edges, state, vols, w_net, num_blocks), iterations
+        )
+        updated = (
+            new_state.withColumnRenamed("label", "l2")
+            .join(state, "vid")
+            .where(F.col("l2") != F.col("label"))
+            .count()
+        )
+        state = drv.install(new_state, iterations, moved=updated)
+        unstable = updated > 0
+    out = drv.finish(iterations)
+    vols.unpersist()
+    if iterations > 1:
+        # localCheckpoint: the relabel window must not re-enter the sweep
+        # lineage at every downstream reference
+        out = _dense_relabel(out).localCheckpoint(eager=True)
+    return out, iterations
+
+
+def coarsen_edges(edges: DataFrame, state: DataFrame) -> DataFrame:
+    """Contract each community to a supernode (plm.cc:48-171)."""
+    return (
+        edges.join(
+            state.select(F.col("vid").alias("src"), F.col("label").alias("c_src")),
+            "src",
+        )
+        .join(
+            state.select(F.col("vid").alias("dst"), F.col("label").alias("c_dst")),
+            "dst",
+        )
+        .groupBy(
+            F.col("c_src").alias("src"), F.col("c_dst").alias("dst")
+        )
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    eps: float = 1e-5,
+    num_blocks: int = 1,
+    max_levels: int | None = None,
+    max_sweeps: int | None = None,
+    driver_factory=None,
+) -> tuple[DataFrame, int]:
+    """Full recursive Louvain. Returns ((vid, label), levels).
+
+    ``driver_factory()`` -> IterationDriver lets callers give each level its
+    own checkpoint store.
+    """
+    w_net = weight_net(edges)
+    return _louvain_level(
+        spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
+        driver_factory, 1,
+    )
+
+
+def _louvain_level(
+    spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
+    driver_factory, level,
+):
+    e = edges.persist()
+    e.count()
+    drv = driver_factory() if driver_factory else None
+    state, _ = _local_move(
+        spark, e, n, w_net, eps, num_blocks, drv, max_sweeps=max_sweeps
+    )
+    moved_any = state.where(F.col("label") != F.col("vid")).count() > 0
+    if moved_any and (max_levels is None or level < max_levels):
+        # coarse size = max label + 1 (plm.cc:57,359 — NOT the distinct
+        # count: a 1-sweep local move skips the dense relabel, plm.cc:323,
+        # and unused ids become isolated supernodes, as in the reference)
+        n2 = int(state.agg(F.max("label")).collect()[0][0]) + 1
+        if n2 < n:  # guard: cross-block swaps could leave k == n
+            # truncate: the coarse graph is a new level's base table, it
+            # must not drag the previous level's whole plan behind it
+            coarse_edges = coarsen_edges(e, state).localCheckpoint(eager=True)
+            coarse_state, sub_levels = _louvain_level(
+                spark,
+                coarse_edges,
+                n2,
+                w_net,
+                eps,
+                num_blocks,
+                max_levels,
+                max_sweeps,
+                driver_factory,
+                level + 1,
+            )
+            # prolong: label[i] <- coarse_label[label[i]] (plm.cc:174-185)
+            state = state.join(
+                coarse_state.select(
+                    F.col("vid").alias("label"),
+                    F.col("label").alias("coarse_label"),
+                ),
+                "label",
+            ).select("vid", F.col("coarse_label").alias("label"))
+            state = state.localCheckpoint(eager=True)
+            e.unpersist()
+            # sub_levels is already the absolute deepest level reached
+            return state, sub_levels
+    e.unpersist()
+    return state, level

@@ -1,0 +1,86 @@
+"""Synchronous label propagation (PLP — plp.cc:72-114, Jacobi variant).
+
+Per sweep (all reads against the previous iteration's frozen labels):
+
+    edges ⋈ state(src)                      -- shuffle hash join
+      -> groupBy(dst, nbr_label).sum(w)     -- label-weight histogram
+         (plp.cc:29-34's atomic hash-map, as a Tungsten partial+final agg)
+      -> max_by(struct(s, -label)) per dst  -- argmax, NO sort-based window:
+         a single hash agg picks highest sum, ties -> lowest label
+         (pins plp.cc:38-40's nondeterministic tie)
+      -> adopt if s > 0 (plp.cc:36-37 seeds the argmax with (current, 0))
+
+Stopping rule is the reference's (plp.cc:90-93): threshold = int(n*eps);
+stop when updated <= threshold OR |updated_prev - updated| <= threshold.
+The async (Gauss-Seidel) variant lives in lpa_async.py (Arrow-CSR kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from comm_detect_spark.graph.core import vertex_range
+from comm_detect_spark.plans.driver import IterationDriver
+
+
+def lpa_step(edges: DataFrame, state: DataFrame) -> DataFrame:
+    """One synchronous sweep: returns the next (vid, label) state."""
+    hist = (
+        edges.join(state.withColumnRenamed("vid", "src"), "src")
+        .groupBy(F.col("dst").alias("vid"), F.col("label").alias("cand"))
+        .agg(F.sum("weight").alias("s"))
+    )
+    # argmax via max_by(struct): highest s, then highest -cand = lowest cand
+    best = hist.groupBy("vid").agg(
+        F.max(F.struct(F.col("s"), (-F.col("cand")).alias("neg"))).alias("m")
+    )
+    return state.join(best, "vid", "left").select(
+        "vid",
+        F.when(
+            F.col("m").isNotNull() & (F.col("m.s") > 0), -F.col("m.neg")
+        )
+        .otherwise(F.col("label"))
+        .alias("label"),
+    )
+
+
+def lpa_sync(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int | None = None,
+    eps: float = 1e-4,
+    max_iter: int | None = None,
+    driver: IterationDriver | None = None,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Returns (vid BIGINT, label BIGINT). Matches oracle.lpa_sync exactly."""
+    drv = driver or IterationDriver()
+    e = edges.persist()
+    e.count()
+    if vertices is not None:
+        verts = vertices.select("vid").distinct()
+        n = verts.count()
+    else:
+        assert n is not None
+        verts = vertex_range(spark, n)
+    state = drv.start(verts.withColumn("label", F.col("vid")))
+    threshold = int(n * eps)
+    updated, updated_prev, it = n, 0, 0
+    while (updated > threshold) and (abs(updated_prev - updated) > threshold):
+        if max_iter is not None and it >= max_iter:
+            break
+        it += 1
+        updated_prev = updated
+        new_state = drv.prepare(lpa_step(e, state), it)
+        # one action: fills the new state's cache AND counts changed labels
+        updated = (
+            new_state.withColumnRenamed("label", "l2")
+            .join(state, "vid")
+            .where(F.col("l2") != F.col("label"))
+            .count()
+        )
+        state = drv.install(new_state, it, updated=updated)
+    out = drv.finish(it)
+    e.unpersist()
+    return out

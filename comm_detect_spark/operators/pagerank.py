@@ -1,0 +1,126 @@
+"""Weighted PageRank over a directed edge table (SURVEY Table C).
+
+r' = (1-d)/n + d * ( sum_{u->v} r_u * w(u,v)/wout(u)  +  dangling_mass/n )
+
+Plan shape per iteration (the thing that must survive 100x scale-up):
+
+    edges_prep (cached: src, dst, frac)  ⋈  ranks(src)   -- shuffle hash join
+      -> project (dst, contrib)
+      -> groupBy(dst).sum                                -- partial agg map-side
+      -> right join vertex range + scalar dangling mass  -- vertex-sized
+
+* ``frac = w/wout`` is precomputed ONCE and cached — the per-iteration join
+  touches only (src, dst, frac), column-pruned at the scan.
+* dangling mass is a semi-join agg on the (small) dangling vertex set,
+  collected as ONE scalar per iteration.
+* hub skew (power-law dst) is handled by AQE skew-join splitting plus the
+  optional ``salt`` two-phase aggregation: pre-aggregate contributions on
+  (dst, salt) then finish on dst — bounds any single reducer's key volume.
+* lineage is truncated every few iterations via IterationDriver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from comm_detect_spark.graph.core import out_weights, vertex_range
+from comm_detect_spark.plans.driver import IterationDriver
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+    tol: float | None = None,
+    salt: int | None = None,
+    driver: IterationDriver | None = None,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Returns (vid BIGINT, rank DOUBLE). Matches oracle.pagerank to 1e-6.
+
+    Vertex set: dense range(n), or an explicit ``vertices(vid)`` table
+    (sparse id spaces)."""
+    drv = driver or IterationDriver()
+    if vertices is not None:
+        verts = vertices.select("vid").distinct().persist()
+        n = verts.count()
+    else:
+        assert n is not None
+        verts = vertex_range(spark, n)
+
+    wout = out_weights(edges)
+    edges_prep = (
+        edges.join(wout, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
+        .persist()
+    )
+    edges_prep.count()
+    dangling = verts.join(
+        edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+    ).persist()
+    has_dangling = dangling.count() > 0
+
+    ranks = drv.start(verts.withColumn("rank", F.lit(1.0 / n)))
+    l1 = None
+    for it in range(1, iterations + 1):
+        if has_dangling:
+            # 1-row DF, broadcast-cross-joined below: keeps the whole
+            # iteration a single Spark job (no driver collect)
+            dm_df = ranks.join(dangling, "vid", "semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+        else:
+            dm_df = spark.createDataFrame([(0.0,)], "dm DOUBLE")
+        contribs = edges_prep.join(
+            ranks.withColumnRenamed("vid", "src"), "src"
+        ).select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
+        if salt:
+            # deterministic salt (hash of src) — two-phase agg bounds the
+            # per-reducer volume of any hub dst key
+            contribs = (
+                edges_prep.join(ranks.withColumnRenamed("vid", "src"), "src")
+                .select(
+                    "dst",
+                    (F.col("rank") * F.col("frac")).alias("contrib"),
+                    F.pmod(F.hash("src"), F.lit(salt)).alias("_salt"),
+                )
+                .groupBy("dst", "_salt")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+        summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        new_ranks = (
+            verts.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if tol is not None:
+            prepared = drv.prepare(new_ranks, it)
+            diff = (
+                prepared.withColumnRenamed("rank", "r2")
+                .join(ranks, "vid")
+                .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))))
+                .collect()[0][0]
+            )
+            l1 = float(diff)
+            ranks = drv.install(prepared, it, l1_diff=l1)
+            if l1 < tol:
+                break
+        else:
+            ranks = drv.step(new_ranks, it)
+    out = drv.finish(it)
+    edges_prep.unpersist()
+    dangling.unpersist()
+    return out

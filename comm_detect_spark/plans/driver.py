@@ -1,0 +1,93 @@
+"""Iteration plumbing shared by every iterative operator.
+
+Spark-specific care for driver-side ``while`` loops (SURVEY §3.4):
+
+* each iteration's state is persisted and materialized before the previous
+  one is unpersisted (otherwise the new plan recomputes the whole chain);
+* lineage is truncated every ``checkpoint_every`` iterations — either into a
+  CheckpointStore (resumable, Iceberg-shaped) or via localCheckpoint
+  (fast, non-resumable) — so the logical plan does not grow linearly with
+  iteration count (plan-growth is the classic driver-loop failure at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from comm_detect_spark.plans.checkpoint import CheckpointStore
+
+
+class IterationDriver:
+    def __init__(
+        self,
+        store: CheckpointStore | None = None,
+        checkpoint_every: int = 1,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        # checkpoint_every=1: truncate lineage EVERY iteration. Anything
+        # sparser lets the logical plan deepen linearly with iteration count
+        # until Catalyst's own tree traversals dominate runtime (observed:
+        # jazz Louvain went 30s -> 700s+ from plan growth alone).
+        self.store = store
+        self.checkpoint_every = checkpoint_every
+        self.storage_level = storage_level
+        self._current: DataFrame | None = None
+
+    def start(self, state: DataFrame, iteration: int = 0) -> DataFrame:
+        self._current = state.persist(self.storage_level)
+        self._current.count()
+        return self._current
+
+    def resume_or_start(self, spark, init_state_fn) -> tuple[DataFrame, int]:
+        """Resume from the store's latest snapshot if one exists, else
+        initialize. Returns (state, next_iteration)."""
+        if self.store is not None:
+            latest = self.store.latest_iteration()
+            if latest is not None:
+                return self.start(self.store.load_state(spark), latest), latest + 1
+        return self.start(init_state_fn()), 1
+
+    def prepare(self, new_state: DataFrame, iteration: int) -> DataFrame:
+        """Persist (NOT materialized) the next iteration's state. The caller
+        should run exactly one action against the returned frame (e.g. the
+        changed-rows count) — that action fills the cache — then call
+        install(). Keeps each iteration at ONE Spark job."""
+        truncate = iteration % self.checkpoint_every == 0
+        if truncate and self.store is not None:
+            new_state = self.store.save_state(new_state, iteration)
+        return new_state.persist(self.storage_level)
+
+    def install(self, prepared: DataFrame, iteration: int, **metrics) -> DataFrame:
+        """Swap in a state returned by prepare() after the caller's action."""
+        truncate = iteration % self.checkpoint_every == 0
+        pre_ckpt = None
+        if truncate and self.store is None:
+            pre_ckpt = prepared
+            # reads the just-filled cache; replaces the plan with the
+            # materialized RDD (lineage cut)
+            prepared = prepared.localCheckpoint(eager=True)
+        if self._current is not None:
+            self._current.unpersist()
+        if pre_ckpt is not None:
+            pre_ckpt.unpersist()
+        self._current = prepared
+        if self.store is not None:
+            self.store.log_metric(iteration, **metrics)
+        return prepared
+
+    def step(self, new_state: DataFrame, iteration: int, **metrics) -> DataFrame:
+        """prepare + materialize + install, for callers with no action of
+        their own."""
+        prepared = self.prepare(new_state, iteration)
+        prepared.count()
+        return self.install(prepared, iteration, **metrics)
+
+    def finish(self, iteration: int, **metrics) -> DataFrame:
+        assert self._current is not None
+        if self.store is not None:
+            final = self.store.save_state(self._current, iteration)
+            self.store.log_metric(iteration, final=True, **metrics)
+            self._current.unpersist()
+            return final
+        return self._current

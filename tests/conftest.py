@@ -16,7 +16,7 @@ from comm_detect_spark.oracle import Adjacency, jazz_edges
 def spark():
     from comm_detect_spark.session import get_spark
 
-    s = get_spark(app_name="comm-detect-tests", cores=8, shuffle_partitions=8)
+    s = get_spark(app_name="comm-detect-tests", cores=8, shuffle_partitions=4)
     yield s
 
 
@@ -30,6 +30,14 @@ def jazz():
 def jazz_adj(jazz):
     n, s, d, w = jazz
     return Adjacency.from_entries(n, s, d, w)
+
+
+@pytest.fixture(scope="session")
+def jazz_df(spark, jazz):
+    n, s, d, w = jazz
+    df = edges_df(spark, n, s, d, w).persist()
+    df.count()
+    return df
 
 
 def edges_df(spark, n, src, dst, w):

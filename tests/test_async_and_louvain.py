@@ -1,0 +1,80 @@
+"""Arrow-CSR async kernels vs the oracle: single-block runs must be
+bit-identical (shared sweep kernel); multi-block runs must be deterministic
+and structurally sane."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from comm_detect_spark import oracle
+from comm_detect_spark.graph import edges_from_numpy
+from comm_detect_spark.operators.louvain import louvain
+from comm_detect_spark.operators.lpa_async import lpa_async
+from comm_detect_spark.operators.modularity import modularity_score
+
+from tests.test_operators import to_vec
+
+
+class TestLpaAsync:
+    def test_jazz_single_block_exact(self, spark, jazz, jazz_df):
+        n, s, d, w = jazz
+        got = to_vec(lpa_async(spark, jazz_df, n, num_blocks=1), n)
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        want, _ = oracle.lpa_async(adj)
+        assert np.array_equal(got, want)
+
+    def test_jazz_multi_block_deterministic(self, spark, jazz, jazz_df):
+        """Blocked async LPA is Jacobi-across/GS-within: labels may differ
+        from the sequential oracle (and can oscillate, like the reference's
+        racy parallel sweeps) but must be bit-identical across runs."""
+        n = jazz[0]
+        a = to_vec(lpa_async(spark, jazz_df, n, num_blocks=4, max_iter=6), n)
+        b = to_vec(lpa_async(spark, jazz_df, n, num_blocks=4, max_iter=6), n)
+        assert np.array_equal(a, b)
+
+    def test_ring_of_cliques_single_block_cliques_uniform(self, spark):
+        n, s, d, w = oracle.ring_of_cliques(k=4, c=8)
+        e = edges_from_numpy(spark, n, s, d, w)
+        got = to_vec(lpa_async(spark, e, n, num_blocks=1), n)
+        # single-block == oracle: cliques must be label-uniform
+        for c in range(4):
+            assert len(np.unique(got[c * 8 : (c + 1) * 8])) == 1
+
+
+class TestLouvain:
+    def test_jazz_single_block_exact(self, spark, jazz, jazz_df):
+        n, s, d, w = jazz
+        got_df, levels = louvain(spark, jazz_df, n, num_blocks=1)
+        got = to_vec(got_df, n)
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        want, want_levels = oracle.louvain(adj)
+        assert np.array_equal(got, want)
+        assert levels == want_levels
+
+    def test_jazz_modularity_1e6(self, spark, jazz, jazz_df):
+        n, s, d, w = jazz
+        got_df, _ = louvain(spark, jazz_df, n, num_blocks=1)
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        want_q = oracle.modularity(adj, oracle.louvain(adj)[0])
+        assert modularity_score(jazz_df, got_df) == pytest.approx(
+            want_q, abs=1e-6
+        )
+
+    def test_ring_of_cliques_exact(self, spark):
+        n, s, d, w = oracle.ring_of_cliques(k=4, c=8)
+        e = edges_from_numpy(spark, n, s, d, w)
+        got_df, _ = louvain(spark, e, n, num_blocks=1)
+        got = to_vec(got_df, n)
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        want, _ = oracle.louvain(adj)
+        assert np.array_equal(got, want)
+
+    def test_multi_block_quality(self, spark, jazz, jazz_df):
+        """Blocked local move is Jacobi-across/GS-within; labels may differ
+        from the sequential oracle but the partition quality must hold."""
+        n, s, d, w = jazz
+        got_df, _ = louvain(spark, jazz_df, n, num_blocks=4, max_sweeps=10)
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        q_oracle = oracle.modularity(adj, oracle.louvain(adj)[0])
+        q_got = modularity_score(jazz_df, got_df)
+        assert q_got >= q_oracle - 0.05

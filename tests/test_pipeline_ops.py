@@ -1,0 +1,209 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — over the driver-provided testdata tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from comm_detect_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from comm_detect_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from comm_detect_spark.operators.multimodal import (
+    frame_sample,
+    image_features,
+    synthetic_media,
+)
+from comm_detect_spark.operators.similarity import (
+    ann_pairs,
+    brute_force_topk,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "THE  QUICK brown fox jumps over the lazy dog"),  # exact after norm
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup
+        (3, "completely different text about spark engines here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+class TestExactDedup:
+    def test_groups(self, spark, dup_docs):
+        res = {
+            r["id"]: r["keep_id"]
+            for r in exact_duplicates(dup_docs, "doc_id", "text").collect()
+        }
+        assert res[0] == 0 and res[1] == 0 and res[4] == 0
+        assert res[2] == 2 and res[3] == 3
+
+    def test_real_documents_no_crash(self, docs):
+        out = exact_duplicates(docs, "doc_id", "text")
+        assert out.count() == docs.count()
+
+
+class TestMinhash:
+    def test_signatures_shape(self, dup_docs):
+        sig = minhash_signatures(dup_docs, "doc_id", "text", num_hashes=8)
+        assert sig.groupBy("id").count().where("count != 8").count() == 0
+
+    def test_exact_dups_always_collide(self, dup_docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                dup_docs, "doc_id", "text", num_hashes=8, bands=4
+            ).collect()
+        }
+        assert (0, 4) in pairs and (0, 1) in pairs
+        # near-dup (0,2) should collide in >=1 band with high prob; the
+        # totally-different doc must not pair with 0
+        assert (0, 3) not in pairs
+
+    def test_deterministic(self, dup_docs):
+        a = sorted(map(tuple, minhash_signatures(dup_docs, "doc_id", "text").collect()))
+        b = sorted(map(tuple, minhash_signatures(dup_docs, "doc_id", "text").collect()))
+        assert a == b
+
+
+class TestSimhash:
+    def test_identical_hash_for_exact_dups(self, dup_docs):
+        h = {r["id"]: r["simhash"] for r in simhash(dup_docs, "doc_id", "text").collect()}
+        assert h[0] == h[4] == h[1]
+
+    def test_near_dup_close_in_hamming(self, dup_docs):
+        h = {r["id"]: r["simhash"] for r in simhash(dup_docs, "doc_id", "text").collect()}
+        ham_near = bin(h[0] ^ h[2]).count("1")
+        ham_far = bin(h[0] ^ h[3]).count("1")
+        assert ham_near < ham_far
+
+
+class TestJaccard:
+    def test_pairs(self, dup_docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                dup_docs, "doc_id", "text", threshold=0.3
+            ).collect()
+        }
+        assert pairs[(0, 4)] == 1.0
+        assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+        assert (0, 3) not in pairs
+
+
+class TestSimilarity:
+    def test_brute_force_vs_numpy(self, embeddings):
+        rows = embeddings.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        q = mat[0]
+        cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, -np.round(cos, 6)))[:5]
+        want = ids[order].tolist()
+        got = [
+            r["id"]
+            for r in brute_force_topk(
+                embeddings, q.tolist(), k=5
+            ).collect()
+        ]
+        assert got == want
+
+    def test_lsh_recall_contains_self(self, embeddings):
+        q = embeddings.select("embedding").first()["embedding"]
+        got = [r["id"] for r in lsh_topk(embeddings, list(q), k=5, bits=4).collect()]
+        assert 0 in got  # the query vector itself survives bucketing
+
+    def test_ann_pairs_threshold(self, embeddings):
+        out = ann_pairs(embeddings.limit(100), threshold=0.99, bits=2)
+        for r in out.collect():
+            assert r["cosine"] >= 0.99
+
+
+class TestTextFunctions:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("a b  c",), ("one",)], "t STRING")
+        got = [r[0] for r in df.select(token_count("t")).collect()]
+        assert got == [3, 1]
+
+    def test_bpe_ish(self, spark):
+        df = spark.createDataFrame([("ab3 cd, e!",)], "t STRING")
+        # tokens: ab, 3, cd, ',', e, '!'
+        assert df.select(bpe_ish_token_count("t")).collect()[0][0] == 6
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog sat in the sun",),
+                ("der hund und die katze ist hier",),
+                ("xyzzy plugh",),
+            ],
+            "t STRING",
+        )
+        got = [r[0] for r in df.select(lang_id("t")).collect()]
+        assert got == ["en", "de", "und"]
+
+    def test_quality_and_fingerprint_deterministic(self, docs):
+        a = docs.select("doc_id", quality_score("text").alias("q"), fingerprint("text").alias("f"))
+        b = docs.select("doc_id", quality_score("text").alias("q"), fingerprint("text").alias("f"))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestMultimodal:
+    def test_image_features(self, spark):
+        media = synthetic_media(spark, 16)
+        out = image_features(media).collect()
+        assert len(out) == 8  # half are images
+        for r in out:
+            assert 0 <= r["mean_luma"] <= 255
+            assert len(r["feature"]) == 8
+
+    def test_frame_sample_cadence(self, spark):
+        media = synthetic_media(spark, 16)
+        out = frame_sample(media, every_ms=1000)
+        counts = {
+            r["media_id"]: r["count"]
+            for r in out.groupBy("media_id").count().collect()
+        }
+        for mid, cnt in counts.items():
+            assert cnt == (1 + mid % 5)
+
+    def test_real_mode_is_marked(self, spark):
+        media = synthetic_media(spark, 4)
+        with pytest.raises(Exception) as exc_info:
+            image_features(media, mode="real").collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+    def test_deterministic(self, spark):
+        media = synthetic_media(spark, 8)
+        a = sorted(r["mean_luma"] for r in image_features(media).collect())
+        b = sorted(r["mean_luma"] for r in image_features(media).collect())
+        assert a == b
