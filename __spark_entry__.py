@@ -327,6 +327,28 @@ def _q_embedding_ann_pairs(spark, sf_dir):
     return ann_pairs(emb, threshold=0.95, bits=4)
 
 
+def _q_cc_full(spark, sf_dir):
+    """Full connected components to fixpoint — the DuckDB oracle is a
+    recursive CTE computing min reachable vid, so even the ITERATIVE
+    algorithm is cross-engine verified."""
+    sym = _g_sym(spark, sf_dir)
+    verts = _g_verts(spark, sf_dir)
+    return connected_components(spark, sym, vertices=verts, max_iter=50)
+
+
+def _q_louvain(spark, sf_dir):
+    # iterative + recursive: no SQL oracle (rows-only driver check; the
+    # exactness gate is pytest vs the NumPy oracle)
+    from comm_detect_spark.operators.louvain import louvain
+
+    sym = _g_sym(spark, sf_dir)
+    n = int(
+        sym.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
+    ) + 1
+    labels, _ = louvain(spark, sym, n, num_blocks=1, max_sweeps=20)
+    return labels
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -360,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top5": _q_embedding_top5,
         "embedding_ann_pairs": _q_embedding_ann_pairs,
         "events_hourly": _q_events_hourly,
+        "cc_full": _q_cc_full,
+        "louvain_communities": _q_louvain,
     }
 
 
@@ -620,6 +644,15 @@ scored AS (
   FROM embeddings CROSS JOIN q
 )
 SELECT id, cosine FROM scored ORDER BY cosine DESC, id ASC LIMIT 5
+""",
+        "cc_full": f"""
+WITH RECURSIVE {_SQL_G},
+reach(vid, comp) AS (
+  SELECT vid, vid FROM g_verts
+  UNION
+  SELECT e.dst, r.comp FROM g_sym e JOIN reach r ON e.src = r.vid
+)
+SELECT vid, MIN(comp) AS comp FROM reach GROUP BY vid
 """,
         "events_hourly": """
 SELECT user_id,

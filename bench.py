@@ -63,11 +63,17 @@ def main() -> None:
 
     from comm_detect_spark.session import get_spark
 
-    spark = get_spark(app_name="comm-detect-bench", cores=cpus)
+    # measured (pr_tune matrix): shuffle_partitions == cores beats 2x cores
+    # by >2x at this scale (fixed per-task cost dominates); lineage
+    # truncation every 3 iterations beats every-iteration by ~30%
+    spark = get_spark(
+        app_name="comm-detect-bench", cores=cpus, shuffle_partitions=cpus
+    )
 
     import __spark_entry__ as entry_mod
     from comm_detect_spark.operators.lpa import lpa_sync
     from comm_detect_spark.operators.pagerank import pagerank
+    from comm_detect_spark.plans.driver import IterationDriver
 
     timings: dict[str, float] = {}
 
@@ -87,12 +93,16 @@ def main() -> None:
 
     timed(
         "pagerank_rmat",
-        lambda: pagerank(spark, directed, n, iterations=pr_iters).count(),
+        lambda: pagerank(
+            spark, directed, n, iterations=pr_iters,
+            driver=IterationDriver(checkpoint_every=3),
+        ).count(),
     )
     timed(
         "lpa_sync_rmat",
         lambda: lpa_sync(
-            spark, sym, n, eps=-1.0, max_iter=lpa_sweeps
+            spark, sym, n, eps=-1.0, max_iter=lpa_sweeps,
+            driver=IterationDriver(checkpoint_every=3),
         ).count(),
     )
 

@@ -1,5 +1,7 @@
 from comm_detect_spark.operators.components import connected_components  # noqa: F401
+from comm_detect_spark.operators.louvain import dense_relabel, louvain  # noqa: F401
 from comm_detect_spark.operators.lpa import lpa_sync  # noqa: F401
+from comm_detect_spark.operators.lpa_async import lpa_async  # noqa: F401
 from comm_detect_spark.operators.modularity import modularity_score  # noqa: F401
 from comm_detect_spark.operators.pagerank import pagerank  # noqa: F401
 from comm_detect_spark.operators.triangles import triangle_counts  # noqa: F401

@@ -110,7 +110,7 @@ def _local_move_step(
     )
 
 
-def _dense_relabel(state: DataFrame) -> DataFrame:
+def dense_relabel(state: DataFrame) -> DataFrame:
     """Dense 0..k-1 ids in ascending label order (deterministic pin of
     plm.cc:245-262). The window runs over the DISTINCT label set (community
     count, shrinks geometrically) — not over vertices."""
@@ -160,7 +160,7 @@ def _local_move(
     if iterations > 1:
         # localCheckpoint: the relabel window must not re-enter the sweep
         # lineage at every downstream reference
-        out = _dense_relabel(out).localCheckpoint(eager=True)
+        out = dense_relabel(out).localCheckpoint(eager=True)
     return out, iterations
 
 

@@ -21,11 +21,30 @@ Plan shape per iteration (the thing that must survive 100x scale-up):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from comm_detect_spark.graph.core import out_weights, vertex_range
 from comm_detect_spark.plans.driver import IterationDriver
+
+
+def _scatter_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block scatter-aggregate: sum contribs per dst with numpy
+    (np.add.reduceat over the dst-sorted batch — no per-row Python).
+    Deterministic: batch sorted by (dst, contrib) before summing, so the
+    float accumulation order is a pure function of the data."""
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    contrib = pdf["contrib"].to_numpy(dtype=np.float64)
+    order = np.lexsort((contrib, dst))
+    dst, contrib = dst[order], contrib[order]
+    boundary = np.empty(dst.size, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = dst[1:] != dst[:-1]
+    starts = np.flatnonzero(boundary)
+    sums = np.add.reduceat(contrib, starts)
+    return pd.DataFrame({"vid": dst[starts], "s": sums})
 
 
 def pagerank(
@@ -38,11 +57,21 @@ def pagerank(
     salt: int | None = None,
     driver: IterationDriver | None = None,
     vertices: DataFrame | None = None,
+    mode: str = "sql",
+    num_blocks: int = 64,
 ) -> DataFrame:
     """Returns (vid BIGINT, rank DOUBLE). Matches oracle.pagerank to 1e-6.
 
     Vertex set: dense range(n), or an explicit ``vertices(vid)`` table
-    (sparse id spaces)."""
+    (sparse id spaces).
+
+    mode="sql": groupBy(dst).sum — two edge-sized exchanges per iteration
+    (join shuffle + agg shuffle, partial agg shrinking the second).
+    mode="csr": the north-star Arrow path — edges carry a precomputed
+    ``block = pmod(dst, num_blocks)``; after the rank join, each block's
+    rows land in ONE pandas group and the scatter-aggregate runs as numpy
+    reduceat (every dst is wholly owned by its block, so the kernel output
+    is final — the groupBy(dst) shuffle disappears)."""
     drv = driver or IterationDriver()
     if vertices is not None:
         verts = vertices.select("vid").distinct().persist()
@@ -52,11 +81,14 @@ def pagerank(
         verts = vertex_range(spark, n)
 
     wout = out_weights(edges)
-    edges_prep = (
-        edges.join(wout, "src")
-        .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
-        .persist()
+    edges_prep = edges.join(wout, "src").select(
+        "src", "dst", (F.col("weight") / F.col("wout")).alias("frac")
     )
+    if mode == "csr":
+        edges_prep = edges_prep.withColumn(
+            "block", F.pmod(F.col("dst"), F.lit(num_blocks))
+        )
+    edges_prep = edges_prep.persist()
     edges_prep.count()
     dangling = verts.join(
         edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
@@ -90,7 +122,17 @@ def pagerank(
                 .groupBy("dst", "_salt")
                 .agg(F.sum("contrib").alias("contrib"))
             )
-        summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        if mode == "csr":
+            joined = edges_prep.join(
+                ranks.withColumnRenamed("vid", "src"), "src"
+            ).select(
+                "block", "dst", (F.col("rank") * F.col("frac")).alias("contrib")
+            )
+            summed = joined.groupBy("block").applyInPandas(
+                _scatter_kernel, "vid BIGINT, s DOUBLE"
+            ).withColumnRenamed("vid", "dst")
+        else:
+            summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
         new_ranks = (
             verts.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
             .crossJoin(F.broadcast(dm_df))

@@ -1,0 +1,36 @@
+"""Result sinks.
+
+The reference emits DIMACS-10-challenge text: line i = community label of
+node i-1 (plp.cc:136-147, plm.cc:453-464; read back by
+communities_from_file, modularity.h:115-146). We keep that format for
+parity tooling, plus the production parquet sink (state snapshots are the
+real output — CheckpointStore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_labels_text(state: DataFrame, path: str, value_col: str = "label") -> None:
+    """Label-per-line text in vid order (single file — a parity/debug
+    format, not a scale format)."""
+    rows = state.select("vid", value_col).orderBy("vid").collect()
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(f"{r[value_col]}\n")
+
+
+def read_labels_text(spark: SparkSession, path: str) -> DataFrame:
+    """communities_from_file (modularity.h:115-146) as a DataFrame:
+    (vid, label) with vid = line number - 1."""
+    with open(path) as fh:
+        labels = [int(line) for line in fh if line.strip()]
+    return spark.createDataFrame(
+        list(enumerate(labels)), "vid BIGINT, label BIGINT"
+    )
+
+
+def write_labels_parquet(state: DataFrame, path: str) -> None:
+    state.write.mode("overwrite").parquet(path)

@@ -66,7 +66,7 @@ def test_every_query_has_oracle_or_is_documented():
     qs, os_ = set(entry_mod.queries()), set(entry_mod.oracle_sql())
     assert os_ <= qs
     # rows-only queries (no SQL-expressible oracle) must be the known set
-    assert qs - os_ == {"embedding_ann_pairs"}
+    assert qs - os_ == {"embedding_ann_pairs", "louvain_communities"}
 
 
 def test_entry_smoke(spark):
@@ -78,5 +78,6 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    df = entry_mod.queries()["embedding_ann_pairs"](spark, SF)
-    assert df.count() >= 0
+    for name in ["embedding_ann_pairs", "louvain_communities"]:
+        df = entry_mod.queries()[name](spark, SF)
+        assert df.count() >= 0, name

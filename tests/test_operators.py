@@ -40,6 +40,16 @@ class TestPageRank:
         )
         assert np.allclose(plain, salted, atol=1e-9)
 
+    def test_csr_mode_allclose(self, spark, jazz, jazz_df):
+        n, s, d, w = jazz
+        got = to_vec(
+            pagerank(spark, jazz_df, n, iterations=5, mode="csr", num_blocks=8),
+            n,
+            dtype=np.float64,
+        )
+        want = oracle.pagerank(n, s, d, w.astype(float), iterations=5)
+        assert np.allclose(got, want, atol=1e-9)
+
     def test_dangling_mass(self, spark):
         # 0 -> 1 -> 2, node 2 dangling
         e = edges_from_numpy(spark, 3, [0, 1], [1, 2], [1, 1])
