@@ -69,6 +69,21 @@ class TestLouvain:
         want, _ = oracle.louvain(adj)
         assert np.array_equal(got, want)
 
+    def test_weighted_graph_exact(self, spark):
+        """Weighted edges + a self-loop through the full Spark pipeline
+        (volumes count the self-loop twice, dQ excludes self-edges)."""
+        n, s, d, w = oracle.weighted_triangle()
+        e = edges_from_numpy(spark, n, s, d, w)
+        got_df, levels = louvain(spark, e, n, num_blocks=1)
+        got = to_vec(got_df, n)
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        want, want_levels = oracle.louvain(adj)
+        assert np.array_equal(got, want)
+        assert levels == want_levels
+        assert modularity_score(e, got_df) == pytest.approx(
+            oracle.modularity(adj, want), abs=1e-12
+        )
+
     def test_multi_block_quality(self, spark, jazz, jazz_df):
         """Blocked local move is Jacobi-across/GS-within; labels may differ
         from the sequential oracle but the partition quality must hold."""
