@@ -45,9 +45,15 @@ def mint_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
     """
     distinct = urls.select(url_col).distinct()
     # global order via range partitioning (repartitionByRange), then a
-    # per-partition row_number window (no global shuffle to one reducer)
-    ranged = distinct.repartitionByRange(F.col(url_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # per-partition row_number window (no global shuffle to one reducer).
+    # MATERIALIZE the ranged layout once (localCheckpoint): range boundaries
+    # come from sampling and are not reproducible across executions, so the
+    # counts job and the row_number job below must read the SAME frozen
+    # partition assignment or vids could duplicate/gap.
+    ranged = (
+        distinct.repartitionByRange(F.col(url_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = (
         ranged.groupBy("_pid").count().orderBy("_pid").collect()

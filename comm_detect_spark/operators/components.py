@@ -29,6 +29,7 @@ def connected_components(
     max_iter: int = 50,
     driver: IterationDriver | None = None,
     vertices: DataFrame | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns (vid BIGINT, comp BIGINT), comp = min vid in component."""
     drv = driver or IterationDriver()
@@ -40,8 +41,17 @@ def connected_components(
     e = edges.select("src", "dst").persist()
     e.count()
 
-    comp = drv.start(verts.withColumn("comp", F.col("vid")))
-    for it in range(1, max_iter + 1):
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        comp, start_it, hist = resumed
+        if int(hist.get(start_it, {}).get("changed", 1)) == 0:
+            e.unpersist()
+            return drv.finish(start_it)
+    else:
+        comp = drv.start(verts.withColumn("comp", F.col("vid")))
+        start_it = 0
+    it = start_it
+    for it in range(start_it + 1, max_iter + 1):
         nbr_min = (
             e.join(comp.withColumnRenamed("vid", "src"), "src")
             .groupBy(F.col("dst").alias("vid"))

@@ -53,8 +53,13 @@ def lpa_sync(
     max_iter: int | None = None,
     driver: IterationDriver | None = None,
     vertices: DataFrame | None = None,
+    resume: bool = False,
 ) -> DataFrame:
-    """Returns (vid BIGINT, label BIGINT). Matches oracle.lpa_sync exactly."""
+    """Returns (vid BIGINT, label BIGINT). Matches oracle.lpa_sync exactly.
+
+    ``resume=True`` (requires a driver with a CheckpointStore) restarts from
+    the latest snapshot, reseeding the stopping-rule counters from the
+    store's per-iteration metrics."""
     drv = driver or IterationDriver()
     e = edges.persist()
     e.count()
@@ -64,9 +69,17 @@ def lpa_sync(
     else:
         assert n is not None
         verts = vertex_range(spark, n)
-    state = drv.start(verts.withColumn("label", F.col("vid")))
     threshold = int(n * eps)
-    updated, updated_prev, it = n, 0, 0
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        state, it, hist = resumed
+        updated = int(hist.get(it, {}).get("updated", n))
+        # at the top of fresh iteration it+1, updated_prev holds iteration
+        # it-1's count (n before the first sweep); default n = keep going
+        updated_prev = int(hist.get(it - 1, {}).get("updated", n))
+    else:
+        state = drv.start(verts.withColumn("label", F.col("vid")))
+        updated, updated_prev, it = n, 0, 0
     while (updated > threshold) and (abs(updated_prev - updated) > threshold):
         if max_iter is not None and it >= max_iter:
             break

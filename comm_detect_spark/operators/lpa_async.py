@@ -81,14 +81,21 @@ def lpa_async(
     num_blocks: int = 1,
     max_iter: int | None = None,
     driver: IterationDriver | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns (vid, label). Reference stopping rule (plp.cc:90-93)."""
     drv = driver or IterationDriver()
     e = edges.persist()
     e.count()
-    state = drv.start(vertex_range(spark, n).withColumn("label", F.col("vid")))
     threshold = int(n * eps)
-    updated, updated_prev, it = n, 0, 0
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        state, it, hist = resumed
+        updated = int(hist.get(it, {}).get("updated", n))
+        updated_prev = int(hist.get(it - 1, {}).get("updated", n))
+    else:
+        state = drv.start(vertex_range(spark, n).withColumn("label", F.col("vid")))
+        updated, updated_prev, it = n, 0, 0
     while (updated > threshold) and (abs(updated_prev - updated) > threshold):
         if max_iter is not None and it >= max_iter:
             break

@@ -59,6 +59,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     mode: str = "sql",
     num_blocks: int = 64,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns (vid BIGINT, rank DOUBLE). Matches oracle.pagerank to 1e-6.
 
@@ -84,10 +85,6 @@ def pagerank(
     edges_prep = edges.join(wout, "src").select(
         "src", "dst", (F.col("weight") / F.col("wout")).alias("frac")
     )
-    if mode == "csr":
-        edges_prep = edges_prep.withColumn(
-            "block", F.pmod(F.col("dst"), F.lit(num_blocks))
-        )
     edges_prep = edges_prep.persist()
     edges_prep.count()
     dangling = verts.join(
@@ -95,9 +92,15 @@ def pagerank(
     ).persist()
     has_dangling = dangling.count() > 0
 
-    ranks = drv.start(verts.withColumn("rank", F.lit(1.0 / n)))
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        ranks, start_it, _ = resumed
+    else:
+        ranks = drv.start(verts.withColumn("rank", F.lit(1.0 / n)))
+        start_it = 0
     l1 = None
-    for it in range(1, iterations + 1):
+    it = start_it
+    for it in range(start_it + 1, iterations + 1):
         if has_dangling:
             # 1-row DF, broadcast-cross-joined below: keeps the whole
             # iteration a single Spark job (no driver collect)
@@ -123,10 +126,14 @@ def pagerank(
                 .agg(F.sum("contrib").alias("contrib"))
             )
         if mode == "csr":
-            joined = edges_prep.join(
-                ranks.withColumnRenamed("vid", "src"), "src"
-            ).select(
-                "block", "dst", (F.col("rank") * F.col("frac")).alias("contrib")
+            # same `contribs` plan as sql mode (including the optional salted
+            # (dst, _salt) pre-aggregation — the hub-skew guard applies to
+            # both paths); every dst is wholly owned by its block so the
+            # kernel's per-dst sums are final, no groupBy(dst) shuffle
+            joined = contribs.select(
+                F.pmod(F.col("dst"), F.lit(num_blocks)).alias("block"),
+                "dst",
+                "contrib",
             )
             summed = joined.groupBy("block").applyInPandas(
                 _scatter_kernel, "vid BIGINT, s DOUBLE"
@@ -165,4 +172,6 @@ def pagerank(
     out = drv.finish(it)
     edges_prep.unpersist()
     dangling.unpersist()
+    if vertices is not None:
+        verts.unpersist()
     return out

@@ -48,6 +48,20 @@ class IterationDriver:
                 return self.start(self.store.load_state(spark), latest), latest + 1
         return self.start(init_state_fn()), 1
 
+    def try_resume(self, spark) -> tuple[DataFrame, int, dict] | None:
+        """If the store holds a snapshot, install it as the current state.
+        Returns (state, iteration_of_snapshot, {iteration: metrics_row}) so
+        the caller can reseed its stopping-rule counters; None when there is
+        nothing to resume (no store / no snapshot)."""
+        if self.store is None:
+            return None
+        latest = self.store.latest_iteration()
+        if latest is None:
+            return None
+        state = self.start(self.store.load_state(spark), latest)
+        history = {m["iteration"]: m for m in self.store.metrics()}
+        return state, latest, history
+
     def prepare(self, new_state: DataFrame, iteration: int) -> DataFrame:
         """Persist (NOT materialized) the next iteration's state. The caller
         should run exactly one action against the returned frame (e.g. the

@@ -4,25 +4,27 @@ Kept as a fixture loader for parity tests (jazz.graph). Production input is
 the Iceberg/Parquet ``pages`` table — this reader exists because the
 reference's own test graph ships in this format.
 
-Spark-first: spark.read.text + posexplode — the file's implicit "line k+1 =
-node k-1" numbering is recovered from a zipWithIndex-free line index using a
-window over one file; fine for fixtures (DIMACS text is not a scale format).
+Spark-first: sc.textFile + zipWithIndex + posexplode — the file's implicit
+"line k+1 = node k-1" numbering is recovered from RDD zipWithIndex, which is
+deterministic across split layouts (Hadoop text splits preserve in-file line
+order and partition order follows split order). NEVER a window over
+monotonically_increasing_id: that orders by a partition-layout-dependent
+value, i.e. exactly the nondeterminism banned in graph/core.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
-def read_dimacs(spark: SparkSession, path: str) -> DataFrame:
+def read_dimacs(spark: SparkSession, path: str, min_partitions: int | None = None) -> DataFrame:
     """Returns adjacency entries (src BIGINT, dst BIGINT, weight BIGINT),
     0-based (file ids are 1-based — graph.cc:40,46)."""
-    lines = spark.read.text(path)
-    # single-file fixture loader: a global line index via window is fine here
-    w = Window.orderBy(F.monotonically_increasing_id())
-    indexed = lines.withColumn("lineno", F.row_number().over(w) - 1)
+    rdd = spark.sparkContext.textFile(
+        path, minPartitions=min_partitions or 1
+    ).zipWithIndex()
+    indexed = spark.createDataFrame(rdd, "value STRING, lineno BIGINT")
     header = indexed.where(F.col("lineno") == 0).collect()[0]["value"].split()
     weighted = len(header) > 2 and header[2] == "1"
 

@@ -5,11 +5,16 @@ Examples:
         --algo pagerank --edges /data/edges.parquet --out /data/ranks \
         --iterations 10 --checkpoint-root /data/ckpt --run-id run1
 
-    # resume a killed run mid-algorithm:
+    # resume a killed run mid-algorithm (requires --checkpoint-root):
     ... --resume
 
 Input: an edge parquet (src BIGINT, dst BIGINT, weight BIGINT), or a pages
-parquet (--pages) from which the edge table is extracted first.
+parquet (--pages) from which the edge table is extracted first. With
+--pages, the url -> vid mapping is written to <out>_vertices so vid-keyed
+results map back to URLs, and the full minted vertex set (including isolated
+pages with no surviving links) is passed to the operators.
+
+Build the zip with `python scripts/package.py`.
 """
 
 from __future__ import annotations
@@ -44,36 +49,65 @@ def main():
     from comm_detect_spark.operators.triangles import triangle_counts
     from comm_detect_spark.plans.checkpoint import CheckpointStore
     from comm_detect_spark.plans.driver import IterationDriver
-    from comm_detect_spark.sources.pages import pages_to_graph
 
+    if args.resume and not args.checkpoint_root:
+        ap.error("--resume requires --checkpoint-root")
+    if args.resume and args.algo in ("louvain", "triangles"):
+        ap.error(f"--resume is not supported for {args.algo} "
+                 "(multi-level / non-iterative)")
+
+    vertices = None
     if args.pages:
+        from comm_detect_spark.sources.pages import pages_to_graph
+
         pages = spark.read.parquet(args.pages)
         vertices, edges = pages_to_graph(
             pages, symmetric=args.algo in ("cc", "lpa_sync", "lpa_async", "louvain", "triangles")
         )
+        # url -> vid mapping: without it the vid-keyed output is unreadable
+        vertices = vertices.persist()
+        vertices.write.mode("overwrite").parquet(f"{args.out}_vertices")
+        vids = vertices.select("vid")
+        n = vids.count()
     else:
         edges = spark.read.parquet(args.edges)
-        vertices = None
+        vids = None
+        n = (
+            int(edges.select(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]) + 1
+        )
 
-    n = (
-        int(edges.select(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]) + 1
-    )
+    def make_driver(run_id: str):
+        if not args.checkpoint_root:
+            return None
+        store = CheckpointStore(args.checkpoint_root, run_id, algo=args.algo)
+        return IterationDriver(store=store)
 
-    driver = None
-    if args.checkpoint_root:
-        store = CheckpointStore(args.checkpoint_root, args.run_id, algo=args.algo)
-        driver = IterationDriver(store=store)
+    driver = make_driver(args.run_id)
 
     if args.algo == "pagerank":
-        out = pagerank(spark, edges, n, iterations=args.iterations, driver=driver)
+        out = pagerank(spark, edges, n, iterations=args.iterations,
+                       driver=driver, vertices=vids, resume=args.resume)
     elif args.algo == "cc":
-        out = connected_components(spark, edges, n, driver=driver)
+        out = connected_components(spark, edges, n, driver=driver,
+                                   vertices=vids, resume=args.resume)
     elif args.algo == "lpa_sync":
-        out = lpa_sync(spark, edges, n, driver=driver)
+        out = lpa_sync(spark, edges, n, driver=driver, vertices=vids,
+                       resume=args.resume)
     elif args.algo == "lpa_async":
-        out = lpa_async(spark, edges, n, num_blocks=args.num_blocks, driver=driver)
+        out = lpa_async(spark, edges, n, num_blocks=args.num_blocks,
+                        driver=driver, resume=args.resume)
     elif args.algo == "louvain":
-        out, levels = louvain(spark, edges, n, num_blocks=args.num_blocks)
+        # one checkpoint store per level (level counter in the run id)
+        levels_seen = [0]
+
+        def driver_factory():
+            levels_seen[0] += 1
+            return make_driver(f"{args.run_id}-L{levels_seen[0]}")
+
+        out, levels = louvain(
+            spark, edges, n, num_blocks=args.num_blocks,
+            driver_factory=driver_factory if args.checkpoint_root else None,
+        )
     else:
         out = triangle_counts(edges)
 

@@ -82,3 +82,62 @@ class TestResume:
         ms = store.metrics()
         assert [m["iteration"] for m in ms if not m.get("final")] == [1, 2, 3, 4]
         assert all(m["algo"] == "pagerank" for m in ms)
+
+
+class TestOperatorResumeFlag:
+    """resume=True on the operators themselves (jobs/run_algorithm --resume)."""
+
+    def test_pagerank_resume_flag(self, spark, jazz, jazz_df, tmp_path):
+        n = jazz[0]
+        full = to_vec(
+            pagerank(spark, jazz_df, n, iterations=10), n, dtype=np.float64
+        )
+        store = CheckpointStore(str(tmp_path), "prf", algo="pagerank")
+        pagerank(spark, jazz_df, n, iterations=4,
+                 driver=IterationDriver(store=store, checkpoint_every=1))
+        assert store.latest_iteration() == 4
+        store2 = CheckpointStore(str(tmp_path), "prf", algo="pagerank")
+        resumed = to_vec(
+            pagerank(spark, jazz_df, n, iterations=10,
+                     driver=IterationDriver(store=store2, checkpoint_every=1),
+                     resume=True),
+            n, dtype=np.float64,
+        )
+        assert np.allclose(resumed, full, atol=1e-12)
+
+    def test_lpa_sync_resume_flag(self, spark, jazz, jazz_df, tmp_path):
+        from comm_detect_spark.operators.lpa import lpa_sync
+
+        n = jazz[0]
+        full = to_vec(lpa_sync(spark, jazz_df, n, max_iter=4, eps=-1.0), n)
+        store = CheckpointStore(str(tmp_path), "lpf", algo="lpa_sync")
+        lpa_sync(spark, jazz_df, n, max_iter=2, eps=-1.0,
+                 driver=IterationDriver(store=store, checkpoint_every=1))
+        assert store.latest_iteration() == 2
+        store2 = CheckpointStore(str(tmp_path), "lpf", algo="lpa_sync")
+        resumed = to_vec(
+            lpa_sync(spark, jazz_df, n, max_iter=4, eps=-1.0,
+                     driver=IterationDriver(store=store2, checkpoint_every=1),
+                     resume=True),
+            n,
+        )
+        assert np.array_equal(resumed, full)
+
+    def test_cc_resume_flag(self, spark, jazz, jazz_df, tmp_path):
+        from comm_detect_spark.operators.components import connected_components
+
+        n = jazz[0]
+        full = to_vec(connected_components(spark, jazz_df, n), n)
+        store = CheckpointStore(str(tmp_path), "ccf", algo="cc")
+        connected_components(
+            spark, jazz_df, n, max_iter=1,
+            driver=IterationDriver(store=store, checkpoint_every=1))
+        store2 = CheckpointStore(str(tmp_path), "ccf", algo="cc")
+        resumed = to_vec(
+            connected_components(
+                spark, jazz_df, n,
+                driver=IterationDriver(store=store2, checkpoint_every=1),
+                resume=True),
+            n,
+        )
+        assert np.array_equal(resumed, full)

@@ -33,3 +33,16 @@ class TestDimacs:
             for r in read_dimacs(spark, str(p)).collect()
         )
         assert got == [(0, 1, 1), (1, 0, 1)]
+
+    def test_multi_partition_read_deterministic(self, spark):
+        # line numbering must not depend on split layout (the reader uses
+        # zipWithIndex, never monotonically_increasing_id ordering)
+        single = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in read_dimacs(spark, _JAZZ).collect()
+        )
+        multi = sorted(
+            (r["src"], r["dst"], r["weight"])
+            for r in read_dimacs(spark, _JAZZ, min_partitions=8).collect()
+        )
+        assert multi == single
