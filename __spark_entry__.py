@@ -43,6 +43,7 @@ from comm_detect_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from comm_detect_spark.operators.louvain import coarsen_edges
 from comm_detect_spark.operators.lpa import lpa_sync
@@ -321,10 +322,18 @@ def _q_embedding_top5(spark, sf_dir):
 
 
 def _q_embedding_ann_pairs(spark, sf_dir):
-    # LSH-bucketed near-dup pairs: no SQL oracle (hyperplane literals);
-    # driver records a rows-only check, full verification in pytest
+    # LSH-bucketed pairs; the DuckDB oracle embeds the SAME seed-42
+    # hyperplane literals (oracle_sql generates them), so the full
+    # bucket + cosine pipeline is cross-engine verified. threshold=0.3:
+    # the synthetic embeddings are near-orthogonal (max pair cosine ~0.51),
+    # a "near-dup" threshold would make the check vacuously empty.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_pairs(emb, threshold=0.95, bits=4)
+    return ann_pairs(emb, threshold=0.3, bits=4, dim=64)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", k=3, max_hamming=3)
 
 
 def _q_cc_full(spark, sf_dir):
@@ -337,8 +346,10 @@ def _q_cc_full(spark, sf_dir):
 
 
 def _q_louvain(spark, sf_dir):
-    # iterative + recursive: no SQL oracle (rows-only driver check; the
-    # exactness gate is pytest vs the NumPy oracle)
+    # iterative + recursive: DuckDB cannot run Louvain, so the oracle is
+    # GENERATED — the independent NumPy-oracle implementation computes the
+    # full partition at sf0.01 and oracle_sql emits it as a VALUES literal
+    # (exact per-vertex label equality, the same gate pytest applies on jazz)
     from comm_detect_spark.operators.louvain import louvain
 
     sym = _g_sym(spark, sf_dir)
@@ -346,6 +357,22 @@ def _q_louvain(spark, sf_dir):
         sym.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
     ) + 1
     labels, _ = louvain(spark, sym, n, num_blocks=1, max_sweeps=20)
+    return labels
+
+
+def _q_louvain_sweep1(spark, sf_dir):
+    # one local-move sweep, no relabel, no recursion — per-vertex dQ argmax
+    # against live community volumes; oracle = generated VALUES (see
+    # _louvain_sweep1_oracle_values_sql)
+    from comm_detect_spark.operators.louvain import louvain
+
+    sym = _g_sym(spark, sf_dir)
+    n = int(
+        sym.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
+    ) + 1
+    labels, _ = louvain(
+        spark, sym, n, num_blocks=1, max_levels=1, max_sweeps=1
+    )
     return labels
 
 
@@ -377,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_jaccard,
         "doc_stats": _q_doc_stats,
         "embedding_top5": _q_embedding_top5,
@@ -384,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "cc_full": _q_cc_full,
         "louvain_communities": _q_louvain,
+        "louvain_sweep1": _q_louvain_sweep1,
     }
 
 
@@ -391,12 +420,154 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
+# the driver's side-by-side comparison runs at sf0.01 (round protocol); the
+# generated oracles below derive their literals from the same tables.
+# Overridable so tests can replicate the gate at another sf.
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _louvain_capped(adj, eps: float = 1e-5, max_sweeps: int = 20):
+    """Independent recomputation of the partition _q_louvain asks Spark for:
+    the NumPy-oracle louvain (oracle/algorithms.py) with the same per-level
+    sweep cap the Spark call uses (max_sweeps=20). Used ONLY to generate
+    the VALUES oracle — the Spark path never touches this code."""
+    import numpy as np
+
+    from comm_detect_spark.oracle.algorithms import (
+        _coarsen,
+        _dense_map,
+        local_move_sweep,
+        volumes,
+    )
+
+    labels = np.arange(adj.n, dtype=np.int64)
+    vol = volumes(adj)
+    comm_vol = vol.copy()
+    threshold = int(adj.n * eps)
+    iterations, unstable, updated = 0, True, adj.n
+    while unstable and updated > threshold:
+        if iterations >= max_sweeps:
+            break
+        iterations += 1
+        updated = local_move_sweep(adj, labels, vol, comm_vol, adj.weight_net)
+        unstable = updated > 0
+    if iterations > 1:
+        labels = _dense_map(labels)
+    if bool((labels != np.arange(adj.n)).any()):
+        n2 = int(labels.max()) + 1
+        if n2 < adj.n:
+            coarse = _coarsen(adj, labels)
+            labels = _louvain_capped(coarse, eps, max_sweeps)[labels]
+    return labels
+
+
+def _gsym_adjacency(sf_dir: str):
+    """The g_sym graph (same derivation as _SQL_G), built DuckDB-side."""
+    import duckdb
+
+    from comm_detect_spark.oracle.algorithms import Adjacency
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+WITH g_dir AS (
+  SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst, COUNT(*) AS weight
+  FROM read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1, 2
+)
+SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS weight FROM (
+  SELECT src, dst, weight FROM g_dir
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM g_dir
+) GROUP BY src, dst
+"""
+    ).fetchnumpy()
+    src, dst, w = got["src"], got["dst"], got["weight"]
+    n = int(max(src.max(), dst.max())) + 1
+    return Adjacency.from_entries(n, src, dst, w)
+
+
+def _labels_values_sql(labels) -> str:
+    rows = ",".join(f"({v},{int(lab)})" for v, lab in enumerate(labels))
+    return (
+        "SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label "
+        f"FROM (VALUES {rows}) AS t(vid, label)"
+    )
+
+
+def _louvain_oracle_values_sql(sf_dir: str) -> str:
+    """Generate the louvain_communities oracle: derive the SAME g_sym graph
+    DuckDB-side, run the independent NumPy-oracle Louvain, and emit the
+    partition as a VALUES literal (exact per-vertex comparison)."""
+    return _labels_values_sql(
+        _louvain_capped(_gsym_adjacency(sf_dir), eps=1e-5, max_sweeps=20)
+    )
+
+
+def _louvain_sweep1_oracle_values_sql(sf_dir: str) -> str:
+    """Oracle for louvain_sweep1: exactly ONE local-move sweep from the
+    singleton partition (rich mid-collapse label structure — the full-run
+    partition on this community-less dense graph degenerates to one block,
+    so this is the stronger per-vertex dQ check)."""
+    import numpy as np
+
+    from comm_detect_spark.oracle.algorithms import local_move_sweep, volumes
+
+    adj = _gsym_adjacency(sf_dir)
+    labels = np.arange(adj.n, dtype=np.int64)
+    vol = volumes(adj)
+    local_move_sweep(adj, labels, vol, vol.copy(), adj.weight_net)
+    return _labels_values_sql(labels)
+
+
+def _ann_pairs_oracle_sql(
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+    threshold: float = 0.3,
+    cap: int = 100_000,
+) -> str:
+    """Generate the embedding_ann_pairs oracle: the seed-42 hyperplanes are
+    inlined as DOUBLE[] literals (repr round-trips exactly), so DuckDB runs
+    the identical bucket -> cap -> pairwise-cosine pipeline."""
+    from comm_detect_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
+            f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
+  FROM embeddings
+),
+capped AS (
+  SELECT * FROM bucketed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) <= {cap}
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     h60_sh = _H60_SQL.format(x="sh.shingle || '#' || u.i")
     h60_norm = _H60_SQL.format(x=_SQL_NORM_TEXT)
     h60_shingle = _H60_SQL.format(x="sh.shingle")
-    return {
+    out = {
         "graph_volumes": f"""
 WITH {_SQL_G}
 SELECT src AS vid,
@@ -564,6 +735,34 @@ SELECT id,
        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY id
 """,
+        "simhash_pairs": f"""
+WITH {_SQL_SHINGLES},
+hv AS (SELECT sh.id, {h60_shingle} AS hv FROM sh),
+votes AS (
+  SELECT id, CAST(u.b AS INT) AS bit,
+         SUM(CASE WHEN (hv >> CAST(u.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv, UNNEST(range(60)) AS u(b)
+  GROUP BY id, u.b
+),
+sig AS (
+  SELECT id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+),
+blocks AS (
+  SELECT id, simhash, CAST(u.b AS INT) AS blk,
+         (simhash >> (CAST(u.b AS INT) * 15)) & 32767 AS key
+  FROM sig, UNNEST(range(4)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
         "ngram_jaccard": f"""
 WITH {_SQL_SHINGLES},
 rare AS (
@@ -662,6 +861,16 @@ SELECT user_id,
 FROM events GROUP BY 1, 2
 """,
     }
+    # generated oracles (literals derived at call time — see helpers above)
+    out["embedding_ann_pairs"] = _ann_pairs_oracle_sql()
+    try:
+        out["louvain_communities"] = _louvain_oracle_values_sql(_oracle_sf_dir())
+        out["louvain_sweep1"] = _louvain_sweep1_oracle_values_sql(_oracle_sf_dir())
+    except Exception:
+        # testdata not present at this path -> driver falls back to the
+        # rows-only check instead of failing every query
+        pass
+    return out
 
 
 if __name__ == "__main__":

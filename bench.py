@@ -123,6 +123,7 @@ def main() -> None:
         "exact_dedup",
         "minhash_signatures",
         "simhash",
+        "simhash_pairs",
         "doc_stats",
         "embedding_top5",
         "events_hourly",

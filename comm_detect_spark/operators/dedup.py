@@ -127,28 +127,74 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, simhash BIGINT): 60-bit simhash — per bit, sign of the sum of
-    (+1/-1) votes from each shingle's md5-prefix hash."""
+    (+1/-1) votes from each shingle's md5-prefix hash.
+
+    Plan shape: ONE hash aggregation on id with 60 sum buffers (one per
+    bit) — no row explosion. The earlier formulation exploded every shingle
+    into 60 (id, bit, vote) rows before aggregating, multiplying shuffle
+    volume 60x; here the shuffle carries one 60-wide partial-agg row per
+    (map partition, id)."""
     sh = shingles(df, id_col, text_col, k).select(
         "id", _h60(F.col("shingle")).alias("hv")
     )
-    bits = sh.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        F.col("hv"),
-    ).select(
-        "id",
-        "bit",
-        # SQL expr: pyspark's shiftright() only takes a literal shift amount
-        F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    agg = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
-    return agg.groupBy("id").agg(
+    votes = [
         F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+            F.when(F.expr(f"(hv >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agg = sh.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(60):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_hamming: int = 3,
+    num_bits: int = 60,
+) -> DataFrame:
+    """(id_a < id_b, hamming): near-dup pairs with simhash Hamming distance
+    <= max_hamming. Candidates via the pigeonhole block trick: split the
+    signature into max_hamming+1 blocks — any pair within distance d agrees
+    on at least one block — and equi-join on (block, block_bits); only
+    collisions get the exact bit_count(xor) verification. Never all-pairs;
+    the join is bucketed exactly like minhash_lsh_pairs."""
+    nblocks = max_hamming + 1
+    if num_bits % nblocks:
+        raise ValueError(f"num_bits={num_bits} not divisible by {nblocks} blocks")
+    width = num_bits // nblocks
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, k)
+    blocks = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(nblocks)])).alias("blk"),
+    ).withColumn("key", F.expr(f"(simhash >> (blk * {width})) & {mask}"))
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "key"
     )
+    b = blocks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "key"
+    )
+    cand = (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from comm_detect_spark.graph.core import vertex_range, volumes_df, weight_net
 from comm_detect_spark.operators.csr import build_block_csr
-from comm_detect_spark.oracle.algorithms import local_move_sweep
+from comm_detect_spark.operators.kernels import local_move_sweep_fast
 from comm_detect_spark.plans.driver import IterationDriver
 
 _OUT_SCHEMA = "vid BIGINT, label BIGINT"
@@ -63,9 +63,9 @@ def _make_kernel(w_net: int):
             uniq, idx = np.unique(lab_arr, return_index=True)
             for u, i in zip(uniq, idx):
                 comm_vol[int(u)] = int(cv_arr[i])
-        local_move_sweep(
-            adj, labels, vol, comm_vol, w_net, nodes=np.arange(m, dtype=np.int64)
-        )
+        # bit-exact optimized sweep — same output as the oracle's
+        # local_move_sweep (kernels.py; parity pinned in test_kernels)
+        local_move_sweep_fast(adj, labels, vol, comm_vol, w_net, m)
         return pd.DataFrame({"vid": nodes, "label": labels[:m]})
 
     return kernel

@@ -2,13 +2,24 @@
 
 Per sweep (all reads against the previous iteration's frozen labels):
 
-    edges ⋈ state(src)                      -- shuffle hash join
+    edges ⋈ state(src)                      -- co-partitioned: NO exchange
+      -> repartition(P, dst)                -- THE one edge-sized exchange
       -> groupBy(dst, nbr_label).sum(w)     -- label-weight histogram
-         (plp.cc:29-34's atomic hash-map, as a Tungsten partial+final agg)
+         (plp.cc:29-34's atomic hash-map; runs post-shuffle, no exchange:
+         hashpartitioning(dst) satisfies clustering on (dst, label))
       -> max_by(struct(s, -label)) per dst  -- argmax, NO sort-based window:
          a single hash agg picks highest sum, ties -> lowest label
          (pins plp.cc:38-40's nondeterministic tie)
       -> adopt if s > 0 (plp.cc:36-37 seeds the argmax with (current, 0))
+      -> left join vs state                 -- both vid-partitioned: NO exchange
+
+Shuffle budget: the edge table is cached hash-partitioned on ``src`` with
+the SAME partition count P the sweep output carries on ``vid``, so the
+per-sweep ``edges ⋈ state`` join and the keep-label join are exchange-free —
+exactly ONE edge-sized exchange per sweep (the dst repartition). This is the
+minimum for a shuffle-based LPA and the property the scaling bench measures;
+tests/test_plans.py asserts the exchange count. On a real cluster the same
+effect comes from bucketBy(src) on the edge table (sources/bucketed.py).
 
 Stopping rule is the reference's (plp.cc:90-93): threshold = int(n*eps);
 stop when updated <= threshold OR |updated_prev - updated| <= threshold.
@@ -24,12 +35,22 @@ from comm_detect_spark.graph.core import vertex_range
 from comm_detect_spark.plans.driver import IterationDriver
 
 
-def lpa_step(edges: DataFrame, state: DataFrame) -> DataFrame:
-    """One synchronous sweep: returns the next (vid, label) state."""
-    hist = (
-        edges.join(state.withColumnRenamed("vid", "src"), "src")
-        .groupBy(F.col("dst").alias("vid"), F.col("label").alias("cand"))
-        .agg(F.sum("weight").alias("s"))
+def lpa_step(
+    edges: DataFrame, state: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """One synchronous sweep: returns the next (vid, label) state.
+
+    With ``num_partitions`` the histogram input is explicitly repartitioned
+    on dst (one exchange), and both aggregations plus the keep-label join
+    run exchange-free on that partitioning — provided ``edges`` is cached
+    hash-partitioned on src with the same count (see lpa_sync)."""
+    joined = edges.join(state.withColumnRenamed("vid", "src"), "src").select(
+        "dst", F.col("label").alias("cand"), "weight"
+    )
+    if num_partitions:
+        joined = joined.repartition(num_partitions, "dst")
+    hist = joined.groupBy(F.col("dst").alias("vid"), F.col("cand")).agg(
+        F.sum("weight").alias("s")
     )
     # argmax via max_by(struct): highest s, then highest -cand = lowest cand
     best = hist.groupBy("vid").agg(
@@ -54,14 +75,19 @@ def lpa_sync(
     driver: IterationDriver | None = None,
     vertices: DataFrame | None = None,
     resume: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns (vid BIGINT, label BIGINT). Matches oracle.lpa_sync exactly.
+    """Returns (vid BIGINT, label BIGINT). Matches oracle.lpa_sync exactly
+    (integer weights — the result is partitioning-invariant).
 
+    ``num_partitions`` (default: spark.sql.shuffle.partitions) sizes the
+    co-partitioning of the cached edge table and the iterated state.
     ``resume=True`` (requires a driver with a CheckpointStore) restarts from
     the latest snapshot, reseeding the stopping-rule counters from the
     store's per-iteration metrics."""
     drv = driver or IterationDriver()
-    e = edges.persist()
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.repartition(p, "src").persist()
     e.count()
     if vertices is not None:
         verts = vertices.select("vid").distinct()
@@ -78,14 +104,16 @@ def lpa_sync(
         # it-1's count (n before the first sweep); default n = keep going
         updated_prev = int(hist.get(it - 1, {}).get("updated", n))
     else:
-        state = drv.start(verts.withColumn("label", F.col("vid")))
+        state = drv.start(
+            verts.withColumn("label", F.col("vid")).repartition(p, "vid")
+        )
         updated, updated_prev, it = n, 0, 0
     while (updated > threshold) and (abs(updated_prev - updated) > threshold):
         if max_iter is not None and it >= max_iter:
             break
         it += 1
         updated_prev = updated
-        new_state = drv.prepare(lpa_step(e, state), it)
+        new_state = drv.prepare(lpa_step(e, state, num_partitions=p), it)
         # one action: fills the new state's cache AND counts changed labels
         updated = (
             new_state.withColumnRenamed("label", "l2")

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from comm_detect_spark.graph.core import vertex_range
 from comm_detect_spark.operators.csr import build_block_csr
-from comm_detect_spark.oracle.algorithms import lpa_async_sweep
+from comm_detect_spark.operators.kernels import lpa_async_sweep_fast
 from comm_detect_spark.plans.driver import IterationDriver
 
 _OUT_SCHEMA = "vid BIGINT, label BIGINT"
@@ -42,7 +42,9 @@ def _block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(dst, kind="stable")
         ext_pos = np.searchsorted(dst[order], ext_vids)
         labels[m:] = pdf["dst_label"].to_numpy(dtype=np.int64)[order][ext_pos]
-    lpa_async_sweep(adj, labels, nodes=np.arange(m, dtype=np.int64))
+    # run-decomposed vectorized sweep — output identical to the oracle's
+    # per-node lpa_async_sweep (kernels.py; parity pinned in test_kernels)
+    lpa_async_sweep_fast(adj, labels, m)
     return pd.DataFrame({"vid": nodes, "label": labels[:m]})
 
 

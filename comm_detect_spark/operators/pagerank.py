@@ -4,13 +4,15 @@ r' = (1-d)/n + d * ( sum_{u->v} r_u * w(u,v)/wout(u)  +  dangling_mass/n )
 
 Plan shape per iteration (the thing that must survive 100x scale-up):
 
-    edges_prep (cached: src, dst, frac)  ⋈  ranks(src)   -- shuffle hash join
+    edges_prep (cached hash(src, P))  ⋈  ranks (hash(vid, P))  -- NO exchange
       -> project (dst, contrib)
-      -> groupBy(dst).sum                                -- partial agg map-side
-      -> right join vertex range + scalar dangling mass  -- vertex-sized
+      -> groupBy(dst).sum            -- partial agg map-side, THE one exchange
+      -> join cached verts (hash(vid, P)) + broadcast dangling  -- NO exchange
 
-* ``frac = w/wout`` is precomputed ONCE and cached — the per-iteration join
-  touches only (src, dst, frac), column-pruned at the scan.
+* ``frac = w/wout`` is precomputed ONCE and cached hash-partitioned on src
+  with the same count P the iterated ranks carry on vid, so the join and
+  the verts re-join are exchange-free — ONE edge-sized exchange (the dst
+  aggregation, shrunk by map-side combine) per iteration.
 * dangling mass is a semi-join agg on the (small) dangling vertex set,
   collected as ONE scalar per iteration.
 * hub skew (power-law dst) is handled by AQE skew-join splitting plus the
@@ -60,6 +62,7 @@ def pagerank(
     mode: str = "sql",
     num_blocks: int = 64,
     resume: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns (vid BIGINT, rank DOUBLE). Matches oracle.pagerank to 1e-6.
 
@@ -74,18 +77,24 @@ def pagerank(
     reduceat (every dst is wholly owned by its block, so the kernel output
     is final — the groupBy(dst) shuffle disappears)."""
     drv = driver or IterationDriver()
+    # co-partitioning contract (same as lpa_sync): edges cached hash(src, P),
+    # iterated ranks carried hash(vid, P) -> the per-iteration join and the
+    # verts re-join are exchange-free; only the dst aggregation shuffles
+    # (with map-side partial agg). One edge-sized exchange per iteration.
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
-        verts = vertices.select("vid").distinct().persist()
+        verts = vertices.select("vid").distinct().repartition(p, "vid").persist()
         n = verts.count()
     else:
         assert n is not None
-        verts = vertex_range(spark, n)
+        verts = vertex_range(spark, n).repartition(p, "vid").persist()
+        verts.count()
 
     wout = out_weights(edges)
     edges_prep = edges.join(wout, "src").select(
         "src", "dst", (F.col("weight") / F.col("wout")).alias("frac")
     )
-    edges_prep = edges_prep.persist()
+    edges_prep = edges_prep.repartition(p, "src").persist()
     edges_prep.count()
     dangling = verts.join(
         edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
@@ -172,6 +181,5 @@ def pagerank(
     out = drv.finish(it)
     edges_prep.unpersist()
     dangling.unpersist()
-    if vertices is not None:
-        verts.unpersist()
+    verts.unpersist()
     return out

@@ -107,19 +107,40 @@ def ann_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """(id_a < id_b, cosine) for bucket-colliding pairs with cosine >=
     threshold — embedding near-dup dedup. Recall misses cross-bucket pairs
     (standard LSH trade: raise recall by lowering bits or unioning several
-    seeds)."""
-    sample = df.select(vec_col).first()
-    dim = len(sample[vec_col])
+    seeds).
+
+    ``dim``: embedding dimensionality; pass it when known to keep the plan
+    fully lazy (when None, one row is sampled to learn it).
+    ``max_bucket_size``: hub-bucket guard — a pathological bucket (e.g. many
+    identical vectors) is otherwise a quadratic bomb at scale. Buckets are
+    deterministically truncated to their ``max_bucket_size`` lowest ids
+    before the pairwise stage (the per-bucket row_number is a sort, linear
+    work — the O(S^2) join is what it prevents). Dropped rows lose their
+    pairs; that is the documented recall trade, not silent corruption."""
+    if dim is None:
+        sample = df.select(vec_col).first()
+        dim = len(sample[vec_col])
     planes = _hyperplanes(dim, bits, seed)
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket").orderBy("id")
+        bucketed = (
+            bucketed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     a = bucketed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
     )

@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed tables (sources/bucketed.py) land here, not in ./spark-warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+        )
     )
     # shuffle/spill dirs on tmpfs when available: local[N] puts N writers on
     # one filesystem; on the sandbox's overlay disk that serializes at high

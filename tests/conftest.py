@@ -52,3 +52,9 @@ def edges_df(spark, n, src, dst, w):
         }
     )
     return spark.createDataFrame(pdf)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: separate-JVM / long-running end-to-end tests"
+    )

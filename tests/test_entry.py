@@ -3,6 +3,7 @@ at sf0.001 — a local replica of the driver's correctness gate (which runs at
 sf0.01): row count, schema (column names), order-insensitive values."""
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -10,6 +11,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF = "/root/testdata/sf0.001"
+# generated VALUES oracles (louvain) must derive from the sf this test
+# compares at — the driver itself runs with the default (sf0.01)
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -62,11 +66,12 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-def test_every_query_has_oracle_or_is_documented():
+def test_every_query_has_oracle():
     qs, os_ = set(entry_mod.queries()), set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # rows-only queries (no SQL-expressible oracle) must be the known set
-    assert qs - os_ == {"embedding_ann_pairs", "louvain_communities"}
+    # every query is oracle-checked (generated VALUES oracles cover the
+    # iterative ones) — no rows-only entries remain
+    assert qs - os_ == set()
 
 
 def test_entry_smoke(spark):
@@ -75,9 +80,3 @@ def test_entry_smoke(spark):
     assert len(rows) == 20
     assert df.columns == ["vid", "rank"]
     assert all(r["rank"] > 0 for r in rows)
-
-
-def test_rows_only_queries_run(spark):
-    for name in ["embedding_ann_pairs", "louvain_communities"]:
-        df = entry_mod.queries()[name](spark, SF)
-        assert df.count() >= 0, name

@@ -1,0 +1,158 @@
+"""Fast execution kernels == oracle kernels, element-exact (no Spark).
+
+The oracle (per-node numpy loops) defines the semantics; kernels.py is the
+execution path shipped into applyInPandas. Parity must be exact — same
+labels, same update counts — on the reference fixture (jazz), on random
+RMAT-ish graphs with weights + self-loops, and on adversarial layouts
+(path graph = worst case for run decomposition: every run has length 1).
+"""
+
+import numpy as np
+import pytest
+
+from comm_detect_spark.operators.kernels import (
+    _prev_member_neighbor,
+    local_move_sweep_fast,
+    lpa_async_sweep_fast,
+)
+from comm_detect_spark.oracle.algorithms import (
+    Adjacency,
+    local_move_sweep,
+    lpa_async_sweep,
+    volumes,
+)
+
+
+def _random_graph(n: int, m: int, seed: int, self_loops: bool = True):
+    """Symmetric adjacency entries with integer weights (+ some self-loops)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 5, src.size)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    if self_loops:
+        loops = rng.integers(0, n, max(n // 20, 1))
+        s = np.concatenate([s, loops])
+        d = np.concatenate([d, loops])
+        ww = np.concatenate([ww, rng.integers(1, 5, loops.size)])
+    # dedupe parallel entries (sum weights) for a clean Adjacency
+    key = s * n + d
+    uniq, inv = np.unique(key, return_inverse=True)
+    w2 = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(w2, inv, ww)
+    return Adjacency.from_entries(n, uniq // n, uniq % n, w2)
+
+
+class TestPrevMemberNeighbor:
+    def test_matches_bruteforce(self):
+        adj = _random_graph(200, 800, seed=1)
+        got = _prev_member_neighbor(adj, adj.n)
+        for v in range(adj.n):
+            nb, _ = adj.nbrs(v)
+            smaller = nb[nb < v]
+            want = int(smaller.max()) if smaller.size else -1
+            assert got[v] == want, v
+
+
+class TestLpaAsyncParity:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_graphs_multi_sweep(self, seed):
+        adj = _random_graph(300, 1500, seed=seed)
+        la = np.arange(adj.n, dtype=np.int64)
+        lb = la.copy()
+        for _ in range(4):
+            ua = lpa_async_sweep(adj, la)
+            ub = lpa_async_sweep_fast(adj, lb)
+            assert ua == ub
+            assert np.array_equal(la, lb)
+
+    def test_jazz(self, jazz_adj):
+        la = np.arange(jazz_adj.n, dtype=np.int64)
+        lb = la.copy()
+        for _ in range(5):
+            ua = lpa_async_sweep(jazz_adj, la)
+            ub = lpa_async_sweep_fast(jazz_adj, lb)
+            assert ua == ub and np.array_equal(la, lb)
+
+    def test_path_graph_every_run_length_one(self):
+        # 0-1-2-...-49: node v always has neighbor v-1 -> runs degenerate to
+        # single nodes, the pure sequential regime
+        n = 50
+        s = np.arange(n - 1)
+        adj = Adjacency.from_entries(
+            n,
+            np.concatenate([s, s + 1]),
+            np.concatenate([s + 1, s]),
+            np.ones(2 * (n - 1), dtype=np.int64),
+        )
+        la = np.arange(n, dtype=np.int64)
+        lb = la.copy()
+        for _ in range(3):
+            assert lpa_async_sweep(adj, la) == lpa_async_sweep_fast(adj, lb)
+            assert np.array_equal(la, lb)
+
+    def test_block_view_with_externals(self):
+        # kernel-shaped input: members [0, m), external stale ids [m, n)
+        adj = _random_graph(120, 600, seed=7)
+        m = 80
+        rng = np.random.Generator(np.random.PCG64(9))
+        base = rng.integers(0, 1000, adj.n)
+        la, lb = base.copy(), base.copy()
+        ua = lpa_async_sweep(adj, la, nodes=np.arange(m, dtype=np.int64))
+        ub = lpa_async_sweep_fast(adj, lb, m)
+        assert ua == ub and np.array_equal(la, lb)
+
+
+class TestLocalMoveParity:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_graphs_multi_sweep(self, seed):
+        adj = _random_graph(250, 1200, seed=seed)
+        vol = volumes(adj)
+        w = adj.weight_net
+        la = np.arange(adj.n, dtype=np.int64)
+        lb = la.copy()
+        cva = vol.copy().astype(np.int64)
+        cvb = {i: int(v) for i, v in enumerate(vol)}
+        for _ in range(4):
+            ma = local_move_sweep(adj, la, vol, cva, w)
+            mb = local_move_sweep_fast(adj, lb, vol, cvb, w)
+            assert ma == mb
+            assert np.array_equal(la, lb)
+        for i in range(adj.n):
+            assert cva[i] == cvb[i]
+
+    def test_jazz(self, jazz_adj):
+        adj = jazz_adj
+        vol = volumes(adj)
+        w = adj.weight_net
+        la = np.arange(adj.n, dtype=np.int64)
+        lb = la.copy()
+        cva = vol.copy()
+        cvb = vol.copy()
+        for _ in range(5):
+            ma = local_move_sweep(adj, la, vol, cva, w)
+            mb = local_move_sweep_fast(adj, lb, vol, cvb, w)
+            assert ma == mb and np.array_equal(la, lb)
+        assert np.array_equal(cva, cvb)
+
+    def test_block_view_with_externals_and_dict_volumes(self):
+        adj = _random_graph(150, 700, seed=11)
+        m = 100
+        vol = volumes(adj)
+        w = adj.weight_net
+        rng = np.random.Generator(np.random.PCG64(5))
+        base = rng.integers(0, 50, adj.n).astype(np.int64)
+        cv: dict[int, int] = {}
+        for lab, v in zip(base, vol):
+            cv[int(lab)] = cv.get(int(lab), 0) + int(v)
+        la, lb = base.copy(), base.copy()
+        cva = dict(cv)
+        cvb = dict(cv)
+        ma = local_move_sweep(adj, la, vol, cva, w, nodes=np.arange(m, dtype=np.int64))
+        mb = local_move_sweep_fast(adj, lb, vol, cvb, w, m)
+        assert ma == mb and np.array_equal(la, lb)
+        assert cva == cvb

@@ -87,3 +87,143 @@ class TestAggAndJoins:
         )
         plan = plan_of(prep)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def live_exchange_count(plan: str) -> int:
+    """Shuffle exchanges in the LIVE plan tree: cached-relation subplans
+    (InMemoryRelation init) are excluded, broadcasts don't count."""
+    import re
+
+    tree = plan.split("\n\n")[0]
+    count, skip_indent = 0, None
+    for line in tree.splitlines():
+        m = re.search(r"[A-Za-z]", line)
+        if not m:
+            continue
+        ind = m.start()
+        if skip_indent is not None:
+            if ind > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = ind
+            continue
+        if re.search(r"\bExchange\b", line):
+            count += 1
+    return count
+
+
+class TestShuffleBudget:
+    def test_lpa_sweep_single_exchange(self, spark):
+        """The per-sweep shuffle contract behind the scaling bench: with the
+        edge table cached hash-partitioned on src and the state on vid (same
+        P), one sweep = exactly ONE exchange (the dst repartition) — both
+        joins and both aggregations are exchange-free."""
+        from comm_detect_spark.operators.lpa import lpa_step
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            P = 8
+            edges = spark.range(1000).select(
+                (F.col("id") % 97).alias("src"),
+                (F.col("id") % 89).alias("dst"),
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+            e = edges.repartition(P, "src").persist()
+            e.count()
+            state = (
+                spark.range(100)
+                .select(F.col("id").alias("vid"), F.col("id").alias("label"))
+                .repartition(P, "vid")
+                .persist()
+            )
+            state.count()
+            plan = plan_of(lpa_step(e, state, num_partitions=P))
+            assert live_exchange_count(plan) == 1, plan
+            e.unpersist()
+            state.unpersist()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_bucketed_edges_join_no_exchange(self, spark):
+        """sources/bucketed.py contract: a join on src above a bucketed scan
+        inserts NO exchange anywhere when the other side is already
+        partitioned to the bucket count — the cluster-scale equivalent of
+        the cached repartition the iterative operators use locally."""
+        from comm_detect_spark.sources.bucketed import (
+            read_bucketed_edges,
+            write_bucketed_edges,
+        )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buckets = 4
+            edges = spark.range(2000).select(
+                (F.col("id") % 131).alias("src"),
+                (F.col("id") % 117).alias("dst"),
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+            write_bucketed_edges(edges, "t_bucketed_edges", buckets)
+            scan = read_bucketed_edges(spark, "t_bucketed_edges")
+            state = (
+                spark.range(131)
+                .select(F.col("id").alias("src"), F.col("id").alias("label"))
+                .repartition(buckets, "src")
+                .persist()
+            )
+            state.count()
+            joined = scan.join(state, "src")
+            assert live_exchange_count(plan_of(joined)) == 0, plan_of(joined)
+            state.unpersist()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
+
+    def test_pagerank_iteration_single_exchange(self, spark):
+        """pagerank's per-iteration contract: cached edges_prep hash(src, P)
+        + ranks hash(vid, P) -> the only live exchange is the dst
+        aggregation (map-side partial agg included)."""
+        from comm_detect_spark.graph.core import out_weights
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # P must equal spark.sql.shuffle.partitions: the dst aggregation
+            # exchanges to the conf count, and the verts join rides it
+            P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            edges = spark.range(1000).select(
+                (F.col("id") % 97).alias("src"),
+                (F.col("id") % 89).alias("dst"),
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+            wout = out_weights(edges)
+            prep = (
+                edges.join(wout, "src")
+                .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
+                .repartition(P, "src")
+                .persist()
+            )
+            prep.count()
+            verts = (
+                spark.range(97).select(F.col("id").alias("vid"))
+                .repartition(P, "vid").persist()
+            )
+            verts.count()
+            ranks = verts.withColumn("rank", F.lit(1.0 / 97))
+            contribs = prep.join(
+                ranks.withColumnRenamed("vid", "src"), "src"
+            ).select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
+            summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+            new_ranks = verts.join(
+                summed.withColumnRenamed("dst", "vid"), "vid", "left"
+            ).select(
+                "vid",
+                (F.lit(0.15 / 97) + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+            )
+            assert live_exchange_count(plan_of(new_ranks)) == 1, plan_of(new_ranks)
+            prep.unpersist()
+            verts.unpersist()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
