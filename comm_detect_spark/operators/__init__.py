@@ -3,5 +3,18 @@ from comm_detect_spark.operators.louvain import dense_relabel, louvain  # noqa: 
 from comm_detect_spark.operators.lpa import lpa_sync  # noqa: F401
 from comm_detect_spark.operators.lpa_async import lpa_async  # noqa: F401
 from comm_detect_spark.operators.modularity import modularity_score  # noqa: F401
+from comm_detect_spark.operators.dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
 from comm_detect_spark.operators.pagerank import pagerank  # noqa: F401
+from comm_detect_spark.operators.similarity import (  # noqa: F401
+    ann_pairs,
+    brute_force_topk,
+    lsh_topk,
+)
 from comm_detect_spark.operators.triangles import triangle_counts  # noqa: F401

@@ -1,0 +1,4 @@
+from comm_detect_spark.streaming.pipeline import (  # noqa: F401
+    events_hourly_stream,
+    streaming_exact_dedup,
+)

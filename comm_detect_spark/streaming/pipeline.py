@@ -1,0 +1,77 @@
+"""Structured Streaming surface for the training-data pipeline.
+
+The reference engine is batch-iterative (SURVEY §2: no streams), so nothing
+here mirrors a reference kernel. These are the incremental versions of the
+pipeline operators a 100 TB ingestion actually runs continuously:
+
+* ``events_hourly_stream`` — the streaming twin of the ``events_hourly``
+  batch query: watermarked tumbling-window rollup. Late events within the
+  watermark update their window; older ones are dropped (state is bounded,
+  which is what makes this runnable forever).
+* ``streaming_exact_dedup`` — incremental exact dedup of a document stream:
+  content-hash ``dropDuplicates`` under a watermark, i.e. the streaming
+  twin of ``operators/dedup.exact_duplicates``'s keep-first rule (here
+  "first" = first ARRIVAL inside the watermark horizon — arrival order is
+  the only order a stream has).
+
+Both are pure built-in operators (no Python in the hot path); state lives
+in the Spark state store, sized by the watermark, and the sink contract is
+append — the standard shape that scales to a real cluster unchanged.
+Batch==stream parity is pinned in tests/test_streaming.py via the file
+source with ``trigger(availableNow=True)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comm_detect_spark.operators.dedup import _h60, _norm
+
+
+def events_hourly_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """(user_id, hour_epoch, n_events, total_value) over a streaming events
+    source (ts TIMESTAMP, user_id, value). Append-mode capable: windows
+    finalize once the watermark passes them."""
+    # event-time must be TIMESTAMP (watermarks reject TIMESTAMP_NTZ, the
+    # type parquet round-trips to under some writers)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """First-arrival pass-through of documents whose normalized content
+    hash has not been seen inside the watermark horizon. State = one row
+    per distinct content hash, expired by the watermark."""
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        _h60(_norm(F.col(text_col))).alias("content_hash"),
+    )
+    return hashed.withWatermark("ts", watermark).dropDuplicates(
+        ["content_hash"]
+    )

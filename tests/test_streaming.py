@@ -1,0 +1,85 @@
+"""Structured Streaming twins == their batch operators (file source,
+trigger(availableNow=True), memory sink — the standard batch-parity rig)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from comm_detect_spark.operators.dedup import exact_duplicates
+from comm_detect_spark.streaming.pipeline import (
+    events_hourly_stream,
+    streaming_exact_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(df, name: str, out_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+class TestEventsHourlyStream:
+    def test_matches_batch_rollup(self, spark, tmp_path):
+        batch = spark.read.parquet(f"{SF}/events.parquet")
+        src_dir = str(tmp_path / "events")
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+        _run_stream(
+            events_hourly_stream(stream), "ev_hourly", "complete"
+        )
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM ev_hourly").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                batch.groupBy(
+                    "user_id",
+                    F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                    .cast("bigint")
+                    .alias("hour_epoch"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 6).alias("total_value"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+
+
+class TestStreamingExactDedup:
+    def test_one_survivor_per_content_hash(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+            "ingest_ts", F.current_timestamp()
+        )
+        src_dir = str(tmp_path / "docs")
+        docs.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        _run_stream(
+            streaming_exact_dedup(stream), "docs_dedup", "append"
+        )
+        got = spark.sql("SELECT * FROM docs_dedup")
+        # exactly one survivor per content hash, same hash set as batch
+        assert got.groupBy("content_hash").count().where(
+            F.col("count") > 1
+        ).count() == 0
+        batch_hashes = {
+            r["content_hash"]
+            for r in exact_duplicates(
+                spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+            ).collect()
+        }
+        stream_hashes = {r["content_hash"] for r in got.collect()}
+        assert stream_hashes == batch_hashes
