@@ -207,3 +207,57 @@ class TestMultimodal:
         a = sorted(r["mean_luma"] for r in image_features(media).collect())
         b = sorted(r["mean_luma"] for r in image_features(media).collect())
         assert a == b
+
+
+class TestSimhashPairs:
+    def test_planted_near_dups_found(self, spark, dup_docs):
+        from comm_detect_spark.operators.dedup import simhash_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(
+                dup_docs, "doc_id", "text", k=3, max_hamming=9
+            ).collect()
+        }
+        # exact dups (0,1,4 normalize identically) -> hamming 0
+        assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0 and pairs[(1, 4)] == 0
+        # the planted near-dup (dog -> cat) is within the ball (hamming 8)
+        assert pairs[(0, 2)] == 8
+        # the unrelated document collides with nothing
+        assert not any(3 in p for p in pairs)
+
+    def test_pairs_subset_of_ball(self, spark, dup_docs):
+        from comm_detect_spark.operators.dedup import simhash, simhash_pairs
+
+        sigs = {r["id"]: r["simhash"] for r in
+                simhash(dup_docs, "doc_id", "text").collect()}
+        for r in simhash_pairs(dup_docs, "doc_id", "text", max_hamming=3).collect():
+            ham = bin(sigs[r["id_a"]] ^ sigs[r["id_b"]]).count("1")
+            assert ham == r["hamming"] and ham <= 3
+
+    def test_block_width_guard(self, spark, dup_docs):
+        from comm_detect_spark.operators.dedup import simhash_pairs
+
+        with pytest.raises(ValueError):
+            simhash_pairs(dup_docs, "doc_id", "text", max_hamming=6)  # 60 % 7 != 0
+
+
+class TestAnnBucketCap:
+    def test_adversarial_single_bucket_capped(self, spark):
+        """All vectors identical -> one LSH bucket no matter the planes;
+        without the cap this is a quadratic bomb. With cap=10 only the 10
+        lowest ids survive to the pairwise stage -> exactly C(10,2) pairs."""
+        n = 200
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        out = ann_pairs(df, threshold=0.5, bits=4, dim=4, max_bucket_size=10)
+        pairs = out.collect()
+        assert len(pairs) == 10 * 9 // 2
+        ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert ids == set(range(10))  # deterministic: lowest ids kept
+
+    def test_cap_disabled_keeps_everything(self, spark):
+        rows = [(i, [1.0, 0.0]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        out = ann_pairs(df, threshold=0.5, bits=2, dim=2, max_bucket_size=None)
+        assert out.count() == 12 * 11 // 2
