@@ -376,6 +376,20 @@ def _q_louvain_sweep1(spark, sf_dir):
     return labels
 
 
+def _q_corpus_dedup(spark, sf_dir):
+    # the full training-corpus dedup composition: exact ∪ LSH pair graph ->
+    # connected components -> representative + quality gate. The oracle
+    # replays it with a recursive CTE — a multi-operator pipeline checked
+    # end-to-end cross-engine.
+    from comm_detect_spark.operators.corpus import corpus_keep_list
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_keep_list(
+        spark, docs, "doc_id", "text", k=3, num_hashes=8, bands=4,
+        min_quality=0.5,
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -409,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "embedding_top5": _q_embedding_top5,
         "embedding_ann_pairs": _q_embedding_ann_pairs,
+        "corpus_dedup": _q_corpus_dedup,
         "events_hourly": _q_events_hourly,
         "cc_full": _q_cc_full,
         "louvain_communities": _q_louvain,
@@ -859,6 +874,61 @@ SELECT user_id,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "corpus_dedup": f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+sig AS (
+  SELECT sh.id, CAST(u.i AS INT) AS h, MIN({h60_sh}) AS minhash
+  FROM sh, UNNEST(range(8)) AS u(i)
+  GROUP BY sh.id, u.i
+),
+banded AS (
+  SELECT id, CAST(FLOOR(h / 2.0) AS INT) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS bucket
+  FROM sig GROUP BY id, CAST(FLOOR(h / 2.0) AS INT)
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+hashed AS (
+  SELECT doc_id AS id, {h60_norm} AS content_hash FROM documents
+),
+keep0 AS (SELECT content_hash, MIN(id) AS keep_id FROM hashed GROUP BY content_hash),
+exact_edges AS (
+  SELECT h.id AS src, k.keep_id AS dst
+  FROM hashed h JOIN keep0 k USING (content_hash)
+  WHERE h.id <> k.keep_id
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM lsh_pairs
+    UNION ALL SELECT dst AS src, src AS dst FROM lsh_pairs
+    UNION ALL SELECT src, dst FROM exact_edges
+    UNION ALL SELECT dst AS src, src AS dst FROM exact_edges
+  )
+),
+ids AS (SELECT doc_id AS id FROM documents),
+reach(id, comp) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+),
+clusters AS (SELECT id, MIN(comp) AS cluster FROM reach GROUP BY id),
+quality AS (
+  SELECT doc_id AS id,
+    ROUND(
+      LEAST(length(text) / 500.0, 1.0) * 0.4
+      + (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / GREATEST(length(text), 1)) * 0.4
+      + (CASE WHEN length(text) / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2,
+    6) AS quality
+  FROM documents
+)
+SELECT c.id, c.cluster, q.quality,
+       (c.id = c.cluster AND q.quality >= 0.5) AS keep
+FROM clusters c JOIN quality q USING (id)
 """,
     }
     # generated oracles (literals derived at call time — see helpers above)

@@ -261,3 +261,32 @@ class TestAnnBucketCap:
         df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
         out = ann_pairs(df, threshold=0.5, bits=2, dim=2, max_bucket_size=None)
         assert out.count() == 12 * 11 // 2
+
+
+class TestCorpusDedup:
+    def test_clusters_and_keep_rule(self, spark, dup_docs):
+        from comm_detect_spark.operators.corpus import corpus_keep_list
+
+        out = {
+            r["id"]: (r["cluster"], r["keep"])
+            for r in corpus_keep_list(
+                spark, dup_docs, "doc_id", "text",
+                num_hashes=8, bands=4, min_quality=0.0,
+            ).collect()
+        }
+        # exact dups 0/1/4 and the near-dup 2 (LSH band collision) merge
+        assert out[0][0] == out[1][0] == out[4][0] == 0
+        assert out[2][0] == 0  # near-dup joins the cluster through LSH
+        assert out[3][0] == 3  # unrelated doc is its own cluster
+        # exactly the representatives are kept (quality floor disabled)
+        assert [i for i, (_, k) in sorted(out.items()) if k] == [0, 3]
+
+    def test_quality_gate_drops_representative(self, spark):
+        from comm_detect_spark.operators.corpus import corpus_keep_list
+
+        rows = [(0, "x"), (1, "a perfectly reasonable sentence about engines")]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        out = {r["id"]: r["keep"] for r in
+               corpus_keep_list(spark, df, min_quality=0.5).collect()}
+        assert out[0] is False  # representative but junk-quality
+        assert out[1] is True
