@@ -1,13 +1,21 @@
 """Asynchronous label propagation — Arrow-CSR kernel (PLP async semantics,
 plp.cc:72-114; see csr.py for the blocking scheme).
 
-Per sweep (one Spark job):
+Per sweep (one Spark job), COGROUPED so the edge table is exchanged once:
 
-    edges ⋈ state(src)  ⋈ state(dst)        -- gather both endpoint labels
-      -> groupBy(pmod(src, num_blocks))
-      -> applyInPandas(block kernel)         -- sequential CSR sweep/block,
-                                                numpy gather-scatter per node
-      -> count changed (fills cache)
+    A: edges(cached hash(src,P)) ⋈ state(vid,P)   -- NO exchange
+         -> groupBy(block)                         -- THE edge-sized exchange
+    B: touch(cached hash(dst,P)) ⋈ state(vid,P)   -- NO exchange
+         -> groupBy(block)                         -- small (≤ one row per
+                                                      (block, touched vid))
+    cogroup(A, B).applyInPandas(block kernel)      -- CSR sweep per block
+      -> left join state (isolated vertices keep)  -- vertex-sized
+
+``touch`` = distinct (block, dst) — pure structure, computed once and
+cached; per sweep it carries each block's stale neighbor labels WITHOUT
+re-joining (and re-shuffling) the full edge table a second time. The old
+formulation shuffled edge-sized data three times per sweep (src join, dst
+join, block grouping); this one moves it once.
 
 num_blocks=1 == the NumPy oracle exactly; multi-block is deterministic
 (fixed block assignment + ascending sweep order), Gauss-Seidel within a
@@ -29,19 +37,22 @@ from comm_detect_spark.plans.driver import IterationDriver
 _OUT_SCHEMA = "vid BIGINT, label BIGINT"
 
 
-def _block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    nodes, adj, ext_vids, _ = build_block_csr(pdf)
+def _block_kernel(edges_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataFrame:
+    if edges_pdf.empty:
+        return pd.DataFrame({"vid": [], "label": []}).astype("int64")
+    nodes, adj, ext_vids, _ = build_block_csr(edges_pdf)
     m = nodes.size
-    src = pdf["src"].to_numpy(dtype=np.int64)
-    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    src = edges_pdf["src"].to_numpy(dtype=np.int64)
     labels = np.empty(adj.n, dtype=np.int64)
-    # own (live) labels for block members, stale gathered for externals
+    # own (live) labels for block members, stale sweep-start for externals
     _, first_src = np.unique(src, return_index=True)
-    labels[:m] = pdf["src_label"].to_numpy(dtype=np.int64)[first_src]
+    labels[:m] = edges_pdf["src_label"].to_numpy(dtype=np.int64)[first_src]
     if ext_vids.size:
-        order = np.argsort(dst, kind="stable")
-        ext_pos = np.searchsorted(dst[order], ext_vids)
-        labels[m:] = pdf["dst_label"].to_numpy(dtype=np.int64)[order][ext_pos]
+        ld = labels_pdf["dst"].to_numpy(dtype=np.int64)
+        ll = labels_pdf["dst_label"].to_numpy(dtype=np.int64)
+        order = np.argsort(ld)
+        pos = np.searchsorted(ld[order], ext_vids)
+        labels[m:] = ll[order][pos]
     # run-decomposed vectorized sweep — output identical to the oracle's
     # per-node lpa_async_sweep (kernels.py; parity pinned in test_kernels)
     lpa_async_sweep_fast(adj, labels, m)
@@ -49,23 +60,29 @@ def _block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def lpa_async_step(
-    edges: DataFrame, state: DataFrame, num_blocks: int
+    edges: DataFrame, touch: DataFrame, state: DataFrame, num_blocks: int
 ) -> DataFrame:
     """One async sweep. ``state`` = (vid, label); labels carried in GLOBAL
-    label space (kernel local ids never leak)."""
-    gathered = (
-        edges.join(
-            state.select(F.col("vid").alias("src"), F.col("label").alias("src_label")),
-            "src",
-        )
-        .join(
-            state.select(F.col("vid").alias("dst"), F.col("label").alias("dst_label")),
-            "dst",
-        )
-        .withColumn("block", F.pmod(F.col("src"), F.lit(num_blocks)))
+    label space (kernel local ids never leak). ``touch`` = distinct
+    (block, dst) over the edges (precomputed by lpa_async)."""
+    gathered = edges.join(
+        state.select(F.col("vid").alias("src"), F.col("label").alias("src_label")),
+        "src",
+    ).select(
+        F.pmod(F.col("src"), F.lit(num_blocks)).alias("block"),
+        "src",
+        "dst",
+        "weight",
+        "src_label",
     )
-    new_labels = gathered.groupBy("block").applyInPandas(
-        lambda pdf: _block_kernel(pdf), _OUT_SCHEMA
+    ext_labels = touch.join(
+        state.select(F.col("vid").alias("dst"), F.col("label").alias("dst_label")),
+        "dst",
+    ).select("block", "dst", "dst_label")
+    new_labels = (
+        gathered.groupBy("block")
+        .cogroup(ext_labels.groupBy("block"))
+        .applyInPandas(_block_kernel, _OUT_SCHEMA)
     )
     # isolated vertices keep their label
     return state.join(
@@ -84,11 +101,27 @@ def lpa_async(
     max_iter: int | None = None,
     driver: IterationDriver | None = None,
     resume: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns (vid, label). Reference stopping rule (plp.cc:90-93)."""
     drv = driver or IterationDriver()
-    e = edges.persist()
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.repartition(p, "src").persist()
     e.count()
+    # block -> touched-dst structure: computed once, joined per sweep
+    # aliases mint fresh attribute ids — without them the cogroup's two
+    # branches share `dst` from the same cached edges plan and the analyzer
+    # rejects the self-join as ambiguous
+    touch = (
+        e.select(
+            F.pmod(F.col("src"), F.lit(num_blocks)).alias("block"),
+            F.col("dst").alias("dst"),
+        )
+        .distinct()
+        .repartition(p, "dst")
+        .persist()
+    )
+    touch.count()
     threshold = int(n * eps)
     resumed = drv.try_resume(spark) if resume else None
     if resumed is not None:
@@ -96,14 +129,18 @@ def lpa_async(
         updated = int(hist.get(it, {}).get("updated", n))
         updated_prev = int(hist.get(it - 1, {}).get("updated", n))
     else:
-        state = drv.start(vertex_range(spark, n).withColumn("label", F.col("vid")))
+        state = drv.start(
+            vertex_range(spark, n)
+            .withColumn("label", F.col("vid"))
+            .repartition(p, "vid")
+        )
         updated, updated_prev, it = n, 0, 0
     while (updated > threshold) and (abs(updated_prev - updated) > threshold):
         if max_iter is not None and it >= max_iter:
             break
         it += 1
         updated_prev = updated
-        new_state = drv.prepare(lpa_async_step(e, state, num_blocks), it)
+        new_state = drv.prepare(lpa_async_step(e, touch, state, num_blocks), it)
         updated = (
             new_state.withColumnRenamed("label", "l2")
             .join(state, "vid")
@@ -113,4 +150,5 @@ def lpa_async(
         state = drv.install(new_state, it, updated=updated)
     out = drv.finish(it)
     e.unpersist()
+    touch.unpersist()
     return out
