@@ -4,14 +4,16 @@ Level structure (Recursive_comm_detect, plm.cc:336-412):
     singleton init -> local-move sweeps -> [moved?] coarsen -> recurse
     -> prolong (label composition, plm.cc:174-185)
 
-Local move is the Arrow-CSR block kernel (csr.py): per sweep, gather each
-endpoint's label + volume + community volume via three vertex-sized joins,
-block by pmod(src, num_blocks), run the oracle's ``local_move_sweep``
-(dQ per plm.cc:192-242 with weight_sq = 2*weight_net, strict dQ > 0,
-lowest-label tie pin) sequentially inside each block. Community volumes are
-exact at sweep start (groupBy recompute — the bulk-sync analogue of
-plm.cc:306-311's incremental critical section) and incrementally maintained
-within a block during the sweep.
+Local move is the Arrow-CSR block kernel (csr.py), cogrouped like
+lpa_async so the edge table is exchanged ONCE per sweep: branch A gathers
+src-side (label, volume, community volume) on the cached src partitioning
+(exchange-free join, one block exchange); branch B carries the stale
+dst-side (label, community volume) over the precomputed (block, dst)
+structure. The kernel runs the dQ sweep (plm.cc:192-242 with weight_sq =
+2*weight_net, strict dQ > 0, lowest-label tie pin) sequentially inside
+each block. Community volumes are exact at sweep start (groupBy recompute
+— the bulk-sync analogue of plm.cc:306-311's incremental critical section)
+and incrementally maintained within a block during the sweep.
 
 Coarsen (plm.cc:48-171) is two hash joins + one hash agg:
     edges ⋈ labels(src) ⋈ labels(dst) -> groupBy(c_src, c_dst).sum(weight)
@@ -38,28 +40,30 @@ _OUT_SCHEMA = "vid BIGINT, label BIGINT"
 
 
 def _make_kernel(w_net: int):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        nodes, adj, ext_vids, _ = build_block_csr(pdf)
+    def kernel(edges_pdf: pd.DataFrame, ext_pdf: pd.DataFrame) -> pd.DataFrame:
+        if edges_pdf.empty:
+            return pd.DataFrame({"vid": [], "label": []}).astype("int64")
+        nodes, adj, ext_vids, _ = build_block_csr(edges_pdf)
         m = nodes.size
-        src = pdf["src"].to_numpy(dtype=np.int64)
-        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        src = edges_pdf["src"].to_numpy(dtype=np.int64)
         _, first_src = np.unique(src, return_index=True)
         labels = np.empty(adj.n, dtype=np.int64)
-        labels[:m] = pdf["src_label"].to_numpy(dtype=np.int64)[first_src]
+        labels[:m] = edges_pdf["src_label"].to_numpy(dtype=np.int64)[first_src]
         vol = np.zeros(adj.n, dtype=np.int64)
-        vol[:m] = pdf["src_vol"].to_numpy(dtype=np.int64)[first_src]
+        vol[:m] = edges_pdf["src_vol"].to_numpy(dtype=np.int64)[first_src]
+        ext_dst = ext_pdf["dst"].to_numpy(dtype=np.int64)
+        ext_lab = ext_pdf["dst_label"].to_numpy(dtype=np.int64)
         if ext_vids.size:
-            order = np.argsort(dst, kind="stable")
-            ext_pos = np.searchsorted(dst[order], ext_vids)
-            labels[m:] = pdf["dst_label"].to_numpy(dtype=np.int64)[order][ext_pos]
+            order = np.argsort(ext_dst)
+            pos = np.searchsorted(ext_dst[order], ext_vids)
+            labels[m:] = ext_lab[order][pos]
         # community volumes: every community referenced by this block
         # (own labels + neighbor labels), exact at sweep start
         comm_vol: dict[int, int] = {}
-        src_cv = pdf["src_comm_vol"].to_numpy(dtype=np.int64)
-        dst_cv = pdf["dst_comm_vol"].to_numpy(dtype=np.int64)
-        src_lab = pdf["src_label"].to_numpy(dtype=np.int64)
-        dst_lab = pdf["dst_label"].to_numpy(dtype=np.int64)
-        for lab_arr, cv_arr in ((src_lab, src_cv), (dst_lab, dst_cv)):
+        src_cv = edges_pdf["src_comm_vol"].to_numpy(dtype=np.int64)
+        src_lab = edges_pdf["src_label"].to_numpy(dtype=np.int64)
+        ext_cv = ext_pdf["dst_comm_vol"].to_numpy(dtype=np.int64)
+        for lab_arr, cv_arr in ((src_lab, src_cv), (ext_lab, ext_cv)):
             uniq, idx = np.unique(lab_arr, return_index=True)
             for u, i in zip(uniq, idx):
                 comm_vol[int(u)] = int(cv_arr[i])
@@ -72,36 +76,52 @@ def _make_kernel(w_net: int):
 
 
 def _local_move_step(
-    edges: DataFrame, state: DataFrame, vols: DataFrame, w_net: int, num_blocks: int
+    edges: DataFrame,
+    touch: DataFrame,
+    state: DataFrame,
+    vols: DataFrame,
+    w_net: int,
+    num_blocks: int,
 ) -> DataFrame:
+    """One sweep, cogrouped like lpa_async: the edge table is exchanged
+    ONCE (block grouping, join on cached src partitioning exchange-free);
+    the stale neighbor (label, community volume) table rides the small
+    precomputed (block, dst) structure."""
     comm_vols = (
         state.join(vols, "vid")
         .groupBy("label")
         .agg(F.sum("vol").alias("comm_vol"))
     )
     st = state.join(vols, "vid").join(comm_vols, "label")
-    gathered = (
-        edges.join(
-            st.select(
-                F.col("vid").alias("src"),
-                F.col("label").alias("src_label"),
-                F.col("vol").alias("src_vol"),
-                F.col("comm_vol").alias("src_comm_vol"),
-            ),
-            "src",
-        )
-        .join(
-            st.select(
-                F.col("vid").alias("dst"),
-                F.col("label").alias("dst_label"),
-                F.col("comm_vol").alias("dst_comm_vol"),
-            ),
-            "dst",
-        )
-        .withColumn("block", F.pmod(F.col("src"), F.lit(num_blocks)))
+    gathered = edges.join(
+        st.select(
+            F.col("vid").alias("src"),
+            F.col("label").alias("src_label"),
+            F.col("vol").alias("src_vol"),
+            F.col("comm_vol").alias("src_comm_vol"),
+        ),
+        "src",
+    ).select(
+        F.pmod(F.col("src"), F.lit(num_blocks)).alias("block"),
+        "src",
+        "dst",
+        "weight",
+        "src_label",
+        "src_vol",
+        "src_comm_vol",
     )
-    moved = gathered.groupBy("block").applyInPandas(
-        _make_kernel(w_net), _OUT_SCHEMA
+    ext = touch.join(
+        st.select(
+            F.col("vid").alias("dst"),
+            F.col("label").alias("dst_label"),
+            F.col("comm_vol").alias("dst_comm_vol"),
+        ),
+        "dst",
+    ).select("block", "dst", "dst_label", "dst_comm_vol")
+    moved = (
+        gathered.groupBy("block")
+        .cogroup(ext.groupBy("block"))
+        .applyInPandas(_make_kernel(w_net), _OUT_SCHEMA)
     )
     return state.join(
         moved.withColumnRenamed("label", "new_label"), "vid", "left"
@@ -135,9 +155,26 @@ def _local_move(
     max_sweeps: int | None = None,
 ) -> tuple[DataFrame, int]:
     drv = driver or IterationDriver()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     vols = volumes_df(edges).persist()
     vols.count()
-    state = drv.start(vertex_range(spark, n).withColumn("label", F.col("vid")))
+    # block -> touched-dst structure, computed once per level; the aliases
+    # mint fresh attribute ids (see lpa_async: cogroup self-join ambiguity)
+    touch = (
+        edges.select(
+            F.pmod(F.col("src"), F.lit(num_blocks)).alias("block"),
+            F.col("dst").alias("dst"),
+        )
+        .distinct()
+        .repartition(p, "dst")
+        .persist()
+    )
+    touch.count()
+    state = drv.start(
+        vertex_range(spark, n)
+        .withColumn("label", F.col("vid"))
+        .repartition(p, "vid")
+    )
     threshold = int(n * eps)
     iterations, updated, unstable = 0, n, True
     while unstable and updated > threshold:
@@ -145,7 +182,8 @@ def _local_move(
             break
         iterations += 1
         new_state = drv.prepare(
-            _local_move_step(edges, state, vols, w_net, num_blocks), iterations
+            _local_move_step(edges, touch, state, vols, w_net, num_blocks),
+            iterations,
         )
         updated = (
             new_state.withColumnRenamed("label", "l2")
@@ -157,6 +195,7 @@ def _local_move(
         unstable = updated > 0
     out = drv.finish(iterations)
     vols.unpersist()
+    touch.unpersist()
     if iterations > 1:
         # localCheckpoint: the relabel window must not re-enter the sweep
         # lineage at every downstream reference
@@ -208,7 +247,8 @@ def _louvain_level(
     spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
     driver_factory, level,
 ):
-    e = edges.persist()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.repartition(p, "src").persist()
     e.count()
     drv = driver_factory() if driver_factory else None
     state, _ = _local_move(
