@@ -30,15 +30,22 @@ def connected_components(
     driver: IterationDriver | None = None,
     vertices: DataFrame | None = None,
     resume: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns (vid BIGINT, comp BIGINT), comp = min vid in component."""
+    """Returns (vid BIGINT, comp BIGINT), comp = min vid in component.
+
+    Same co-partitioning contract as lpa_sync: edges cached hash(src, P),
+    iterated comp state on hash(vid, P) — the per-round join is
+    exchange-free, only the dst min-aggregation (map-side combined)
+    shuffles edge-sized."""
     drv = driver or IterationDriver()
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
         verts = vertices.select("vid").distinct()
     else:
         assert n is not None
         verts = vertex_range(spark, n)
-    e = edges.select("src", "dst").persist()
+    e = edges.select("src", "dst").repartition(p, "src").persist()
     e.count()
 
     resumed = drv.try_resume(spark) if resume else None
@@ -48,7 +55,9 @@ def connected_components(
             e.unpersist()
             return drv.finish(start_it)
     else:
-        comp = drv.start(verts.withColumn("comp", F.col("vid")))
+        comp = drv.start(
+            verts.withColumn("comp", F.col("vid")).repartition(p, "vid")
+        )
         start_it = 0
     it = start_it
     for it in range(start_it + 1, max_iter + 1):
