@@ -321,6 +321,24 @@ def _q_embedding_top5(spark, sf_dir):
     return brute_force_topk(emb, [float(x) for x in q], k=5)
 
 
+def _q_embedding_ivf_top5(spark, sf_dir):
+    # IVF approximate top-k: deterministic k-means centroids (id-ordered
+    # sample, PCG64 seed 42) -> nearest-list assignment -> exact cosine
+    # over the 2 probed lists. The oracle regenerates the SAME centroids
+    # with the shared kmeans_centroids() and replays assignment in SQL.
+    from comm_detect_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = ivf_fit_centroids(emb, n_centroids=8, seed=42, sample=2048, iters=10)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    return ivf_topk(emb, [float(x) for x in q], cent, k=5, nprobe=2)
+
+
 def _q_embedding_ann_pairs(spark, sf_dir):
     # LSH-bucketed pairs; the DuckDB oracle embeds the SAME seed-42
     # hyperplane literals (oracle_sql generates them), so the full
@@ -422,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_jaccard,
         "doc_stats": _q_doc_stats,
         "embedding_top5": _q_embedding_top5,
+        "embedding_ivf_top5": _q_embedding_ivf_top5,
         "embedding_ann_pairs": _q_embedding_ann_pairs,
         "corpus_dedup": _q_corpus_dedup,
         "events_hourly": _q_events_hourly,
@@ -575,6 +594,63 @@ pairs AS (
   FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id
 )
 SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+def _ivf_top5_oracle_sql(sf_dir: str) -> str:
+    """Generate the embedding_ivf_top5 oracle: regenerate the centroids
+    with the SAME shared kmeans (id-ordered sample, seed 42), inline them,
+    replay list assignment (GREATEST + first-match CASE == the Spark fold's
+    strict-greater/lowest-id tie) and the nprobe search in SQL."""
+    import duckdb
+    import numpy as np
+
+    from comm_detect_spark.operators.similarity import kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    cent = kmeans_centroids(x, 8, seed=42, iters=10)
+    qrow = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id = 0"
+    ).fetchone()
+    q = np.asarray([float(v) for v in qrow[0]], dtype=np.float64)
+    d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:2]]
+
+    scores = []
+    for i, c in enumerate(cent):
+        lit = "[" + ",".join(repr(float(v)) for v in c) + "]"
+        scores.append(
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) - "
+            f"{repr(float(c @ c) / 2.0)} AS s{i}"
+        )
+    m = "GREATEST(" + ",".join(f"s{i}" for i in range(len(cent))) + ")"
+    assign = "CASE " + " ".join(
+        f"WHEN s{i} = {m} THEN {i}" for i in range(len(cent))
+    ) + " END"
+    qlit = "[" + ",".join(repr(float(v)) for v in q) + "]"
+    probe_list = ",".join(str(i) for i in probe)
+    return f"""
+WITH scored AS (
+  SELECT vec_id, embedding, {",".join(scores)}
+  FROM embeddings
+),
+listed AS (SELECT vec_id, embedding, {assign} AS list_id FROM scored),
+cand AS (SELECT * FROM listed WHERE list_id IN ({probe_list})),
+cos AS (
+  SELECT vec_id AS id,
+         ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product({qlit}, {qlit}))), 6) AS cosine
+  FROM cand
+)
+SELECT id, cosine FROM cos ORDER BY cosine DESC, id ASC LIMIT 5
 """
 
 
@@ -936,6 +1012,7 @@ FROM clusters c JOIN quality q USING (id)
     try:
         out["louvain_communities"] = _louvain_oracle_values_sql(_oracle_sf_dir())
         out["louvain_sweep1"] = _louvain_sweep1_oracle_values_sql(_oracle_sf_dir())
+        out["embedding_ivf_top5"] = _ivf_top5_oracle_sql(_oracle_sf_dir())
     except Exception:
         # testdata not present at this path -> driver falls back to the
         # rows-only check instead of failing every query

@@ -6,6 +6,10 @@
 * lsh_topk — random-hyperplane LSH bucketing: probe only the query's bucket
   (+ optional multi-probe neighbors). The scale path: bucket fan-out keeps
   the scan O(n / 2^bits) expected.
+* ivf_topk — IVF coarse quantizer: deterministic k-means centroids shipped
+  as literals, JVM-side nearest-list assignment, exact search over the
+  nprobe closest inverted lists (expected scan n * nprobe / n_centroids;
+  store the list id as a partition column to get partition pruning).
 * ann_pairs — all near pairs by cosine >= threshold via bucket join
   (embedding near-dup dedup).
 
@@ -97,6 +101,91 @@ def lsh_topk(
     probe = [qbucket] + [qbucket ^ (1 << i) for i in range(min(multiprobe, bits))]
     bucketed = df.withColumn("_bucket", bucket_expr(F.col(vec_col), planes))
     cand = bucketed.where(F.col("_bucket").isin(probe))
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def kmeans_centroids(
+    x: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd k-means (PCG64 init, lowest-index argmin ties).
+    Shared by the Spark fit and the DuckDB-oracle generator so centroid
+    literals are identical in both engines."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[
+        rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)
+    ].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest index (numpy argmin)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if members.size:
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means on the ``sample``
+    lowest-id rows. The sample is driver-side (a few thousand vectors even
+    at 100 TB); assignment/search stay distributed. The id-ordered sample +
+    pinned k-means make the centroids reproducible LITERALS — the same
+    shipped-constant scheme as the LSH hyperplanes, and replayable by the
+    DuckDB oracle."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    return kmeans_centroids(x, n_centroids, seed, iters)
+
+
+def ivf_list_expr(vec_col, centroids: np.ndarray):
+    """Nearest-centroid id (euclidean, ties -> lowest id) as a pure column
+    expression — ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2, with ||v||^2
+    constant across candidates, so argmin reduces to the JVM-side
+    argmax of (v.c - ||c||^2 / 2)."""
+    v = _as_double(vec_col)
+    best_score, best_id = None, None
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        score = F.aggregate(
+            F.zip_with(v, clit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        ) - F.lit(float(c @ c) / 2.0)
+        if best_score is None:
+            best_score, best_id = score, F.lit(i)
+        else:
+            better = score > best_score  # strict: ties keep the lower id
+            best_score = F.when(better, score).otherwise(best_score)
+            best_id = F.when(better, F.lit(i)).otherwise(best_id)
+    return best_id
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine over only the ``nprobe`` inverted
+    lists nearest to the query — the expected scan is n * nprobe /
+    n_centroids. Partition-prunable when the table is written partitioned
+    by the list id (ivf_list_expr is deterministic, so list assignment can
+    be a stored column)."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    listed = df.withColumn("_ivf", ivf_list_expr(F.col(vec_col), centroids))
+    cand = listed.where(F.col("_ivf").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
 

@@ -290,3 +290,39 @@ class TestCorpusDedup:
                corpus_keep_list(spark, df, min_quality=0.5).collect()}
         assert out[0] is False  # representative but junk-quality
         assert out[1] is True
+
+
+class TestIvf:
+    def test_centroids_deterministic_and_shared(self, embeddings):
+        import numpy as np
+        from comm_detect_spark.operators.similarity import (
+            ivf_fit_centroids,
+            kmeans_centroids,
+        )
+
+        c1 = ivf_fit_centroids(embeddings, n_centroids=8)
+        c2 = ivf_fit_centroids(embeddings, n_centroids=8)
+        assert np.array_equal(c1, c2)
+        # the Spark fit == the plain-numpy fit on the same id-ordered sample
+        rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(2048).collect()
+        x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+        assert np.array_equal(c1, kmeans_centroids(x, 8))
+
+    def test_topk_contains_self_and_overlaps_bruteforce(self, embeddings):
+        from comm_detect_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_fit_centroids,
+            ivf_topk,
+        )
+
+        q = embeddings.where("vec_id = 7").collect()[0]["embedding"]
+        q = [float(x) for x in q]
+        cent = ivf_fit_centroids(embeddings, n_centroids=8)
+        approx = [r["id"] for r in ivf_topk(embeddings, q, cent, k=5, nprobe=8).collect()]
+        exact = [r["id"] for r in brute_force_topk(embeddings, q, k=5).collect()]
+        # nprobe == n_centroids -> full scan -> must equal exact top-k
+        assert approx == exact
+        assert approx[0] == 7  # self is the nearest
+        # a partial probe still finds the query itself
+        part = [r["id"] for r in ivf_topk(embeddings, q, cent, k=5, nprobe=1).collect()]
+        assert 7 in part
