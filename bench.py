@@ -122,10 +122,12 @@ def main() -> None:
         "dq_argmax_singleton",
         "exact_dedup",
         "minhash_signatures",
+        "minhash_lsh_pairs",
         "simhash",
         "simhash_pairs",
         "doc_stats",
         "embedding_top5",
+        "embedding_ivf_top5",
         "events_hourly",
     ]
     for name in bench_queries:

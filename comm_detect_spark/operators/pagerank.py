@@ -87,8 +87,8 @@ def pagerank(
         n = verts.count()
     else:
         assert n is not None
+        # no count(): the dangling materialization below fills this cache
         verts = vertex_range(spark, n).repartition(p, "vid").persist()
-        verts.count()
 
     wout = out_weights(edges)
     edges_prep = edges.join(wout, "src").select(
