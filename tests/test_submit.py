@@ -40,3 +40,51 @@ def test_spark_submit_pagerank_end_to_end(spark, tmp_path, jazz, jazz_df):
     got = spark.read.parquet(out_path)
     assert got.count() == jazz[0]
     assert set(got.columns) == {"vid", "rank"}
+
+
+@pytest.mark.slow
+def test_spark_submit_pages_pipeline(spark, tmp_path):
+    """--pages path: extraction -> vid minting -> pagerank in a separate
+    JVM; the url->vid mapping must be written and cover isolated pages."""
+    import numpy as np
+
+    from comm_detect_spark.sources.pages import generate_pages
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "comm_detect_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, cwd=root,
+    )
+    # planted graph with an isolated page (no in/out links: page 19)
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 18, 40)
+    dst = rng.integers(0, 18, 40)
+    keep = src != dst
+    pages = generate_pages(spark, 20, src[keep], dst[keep])
+    pages_path = str(tmp_path / "pages.parquet")
+    pages.write.mode("overwrite").parquet(pages_path)
+    out_path = str(tmp_path / "ranks")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(root, "jobs", "run_algorithm.py"),
+         "--algo", "pagerank", "--pages", pages_path,
+         "--out", out_path, "--iterations", "2"],
+        check=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    verts = spark.read.parquet(f"{out_path}_vertices")
+    ranks = spark.read.parquet(out_path)
+    n_pages = 20
+    assert verts.count() == n_pages  # every page minted, incl. isolated
+    assert set(verts.columns) == {"url", "vid"}
+    # ranks keyed over the FULL vertex set (isolated pages not dropped)
+    assert ranks.count() == n_pages
+    joined = ranks.join(verts, "vid")
+    assert joined.count() == n_pages
