@@ -73,7 +73,7 @@ def corpus_keep_list(
     )
     quality = docs.select(
         F.col(id_col).alias("id"),
-        F.round(quality_score(text_col), 6).alias("quality"),
+        quality_score(text_col).alias("quality"),  # rounds to 6 internally
     )
     return clusters.join(quality, "id").select(
         "id",

@@ -56,6 +56,12 @@ def _make_kernel(w_net: int):
         if ext_vids.size:
             order = np.argsort(ext_dst)
             pos = np.searchsorted(ext_dst[order], ext_vids)
+            if pos.max(initial=-1) >= ext_dst.size or not np.array_equal(
+                ext_dst[order][pos], ext_vids
+            ):
+                raise ValueError(
+                    "edge dst not covered by the vertex set (n too small?)"
+                )
             labels[m:] = ext_lab[order][pos]
         # community volumes: every community referenced by this block
         # (own labels + neighbor labels), exact at sweep start

@@ -52,6 +52,14 @@ def _block_kernel(edges_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataF
         ll = labels_pdf["dst_label"].to_numpy(dtype=np.int64)
         order = np.argsort(ld)
         pos = np.searchsorted(ld[order], ext_vids)
+        if pos.max(initial=-1) >= ld.size or not np.array_equal(
+            ld[order][pos], ext_vids
+        ):
+            # an edge dst outside the vertex set would otherwise silently
+            # read a DIFFERENT vertex's label via the insertion position
+            raise ValueError(
+                "edge dst not covered by the vertex set (n too small?)"
+            )
         labels[m:] = ll[order][pos]
     # run-decomposed vectorized sweep — output identical to the oracle's
     # per-node lpa_async_sweep (kernels.py; parity pinned in test_kernels)

@@ -56,11 +56,6 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_simple(edges: DataFrame) -> DataFrame:
-    """Back-compat view: oriented (a, b) pairs (degree ordering)."""
-    return _oriented(edges).select("a", "b")
-
-
 def triangles_df(edges: DataFrame) -> DataFrame:
     """All triangles, one row each, columns (a < b < c) by vertex id."""
     e = _oriented(edges)

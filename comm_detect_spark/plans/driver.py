@@ -39,15 +39,6 @@ class IterationDriver:
         self._current.count()
         return self._current
 
-    def resume_or_start(self, spark, init_state_fn) -> tuple[DataFrame, int]:
-        """Resume from the store's latest snapshot if one exists, else
-        initialize. Returns (state, next_iteration)."""
-        if self.store is not None:
-            latest = self.store.latest_iteration()
-            if latest is not None:
-                return self.start(self.store.load_state(spark), latest), latest + 1
-        return self.start(init_state_fn()), 1
-
     def try_resume(self, spark) -> tuple[DataFrame, int, dict] | None:
         """If the store holds a snapshot, install it as the current state.
         Returns (state, iteration_of_snapshot, {iteration: metrics_row}) so
@@ -59,7 +50,13 @@ class IterationDriver:
         if latest is None:
             return None
         state = self.start(self.store.load_state(spark), latest)
-        history = {m["iteration"]: m for m in self.store.metrics()}
+        # finish() logs a second, counter-less row per iteration
+        # (final=True); it must not shadow the row holding the counters
+        history = {
+            m["iteration"]: m
+            for m in self.store.metrics()
+            if not m.get("final")
+        }
         return state, latest, history
 
     def prepare(self, new_state: DataFrame, iteration: int) -> DataFrame:

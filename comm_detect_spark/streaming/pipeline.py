@@ -72,6 +72,10 @@ def streaming_exact_dedup(
         F.col(ts_col).cast("timestamp").alias("ts"),
         _h60(_norm(F.col(text_col))).alias("content_hash"),
     )
-    return hashed.withWatermark("ts", watermark).dropDuplicates(
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with the plain
+    # variant the event-time column is not part of the dedup key, so state
+    # would never expire (unbounded growth) and a re-crawl after the
+    # horizon would still be suppressed — the opposite of the contract.
+    return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
