@@ -190,10 +190,15 @@ def _q_lpa_round1(spark, sf_dir):
 
 
 def _q_pagerank_iter1(spark, sf_dir):
+    # ONE _g_directed build reused for both the edge table and the vertex
+    # derivation (src ∪ dst == g_sym endpoints ∪ dst) — the earlier twin
+    # build ran the lineitem aggregation job twice per query
     edges = _g_directed(spark, sf_dir)
-    verts = _g_verts(spark, sf_dir).unionAll(
-        _g_directed(spark, sf_dir).select(F.col("dst").alias("vid"))
-    ).distinct()
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
     r = pagerank(spark, edges, vertices=verts, iterations=1)
     return r.select("vid", F.round("rank", 9).alias("rank"))
 

@@ -33,25 +33,27 @@ def vertex_range(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).select(F.col("id").alias("vid"))
 
 
-def mint_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
-    """Deterministic dense vertex ids: row_number over urls sorted ascending,
-    minus 1 (FIXTURES.md §2). NEVER monotonically_increasing_id — that is
+def dense_ids(
+    keys: DataFrame, key_col: str, id_col: str = "vid"
+) -> DataFrame:
+    """(key, id): deterministic dense ids 0..k-1 in ascending ``key_col``
+    order over an already-DISTINCT key table — WITHOUT a single-reducer
+    global sort. NEVER monotonically_increasing_id — that is
     partition-layout dependent and breaks resume/determinism.
 
-    At 10^12-page scale a single global window is the wrong plan; this uses
-    the standard two-phase trick: sort-partition the urls, count per
-    partition, prefix-sum the counts on the driver (tiny), then offset the
-    per-partition row_number — same result, no single-reducer sort.
-    """
-    distinct = urls.select(url_col).distinct()
+    Two-phase trick: range-partition the keys (parallel sort), count per
+    partition, prefix-sum the counts on the driver (one row per partition —
+    tiny), then offset a per-partition row_number. Same result as
+    row_number() OVER (ORDER BY key) - 1, but every stage is partition-
+    parallel; this is what survives 10^12 keys."""
     # global order via range partitioning (repartitionByRange), then a
     # per-partition row_number window (no global shuffle to one reducer).
     # MATERIALIZE the ranged layout once (localCheckpoint): range boundaries
     # come from sampling and are not reproducible across executions, so the
     # counts job and the row_number job below must read the SAME frozen
-    # partition assignment or vids could duplicate/gap.
+    # partition assignment or ids could duplicate/gap.
     ranged = (
-        distinct.repartitionByRange(F.col(url_col))
+        keys.repartitionByRange(F.col(key_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -66,12 +68,19 @@ def mint_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
     offset_df = ranged.sparkSession.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid INT, _off BIGINT"
     )
-    w = Window.partitionBy("_pid").orderBy(url_col)
+    w = Window.partitionBy("_pid").orderBy(key_col)
     return (
         ranged.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(offset_df), "_pid")
-        .select(F.col(url_col), (F.col("_rn") + F.col("_off")).alias("vid"))
+        .select(F.col(key_col), (F.col("_rn") + F.col("_off")).alias(id_col))
     )
+
+
+def mint_vertex_ids(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Deterministic dense vertex ids: row_number over urls sorted ascending,
+    minus 1 (FIXTURES.md §2). Two-phase range-partitioned — see dense_ids.
+    """
+    return dense_ids(urls.select(url_col).distinct(), url_col)
 
 
 def weight_net(edges: DataFrame) -> int:

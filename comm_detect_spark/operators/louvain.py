@@ -28,10 +28,15 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from comm_detect_spark.graph.core import vertex_range, volumes_df, weight_net
+from comm_detect_spark.graph.core import (
+    dense_ids,
+    vertex_range,
+    volumes_df,
+    weight_net,
+)
 from comm_detect_spark.operators.csr import build_block_csr
 from comm_detect_spark.operators.kernels import local_move_sweep_fast
 from comm_detect_spark.plans.driver import IterationDriver
@@ -138,12 +143,13 @@ def _local_move_step(
 
 def dense_relabel(state: DataFrame) -> DataFrame:
     """Dense 0..k-1 ids in ascending label order (deterministic pin of
-    plm.cc:245-262). The window runs over the DISTINCT label set (community
-    count, shrinks geometrically) — not over vertices."""
-    distinct = state.select("label").distinct()
-    mapping = distinct.withColumn(
-        "new_label",
-        F.row_number().over(Window.orderBy("label")).cast("bigint") - 1,
+    plm.cc:245-262). Runs over the DISTINCT label set, and — critically for
+    the level that matters (after one local-move level on a 10^10-vertex web
+    graph the community count is still O(10^9)) — via the two-phase
+    range-partitioned rank (graph.core.dense_ids): NO single-partition
+    global window anywhere in the plan."""
+    mapping = dense_ids(
+        state.select("label").distinct(), "label", id_col="new_label"
     )
     return state.join(mapping, "label").select(
         "vid", F.col("new_label").alias("label")

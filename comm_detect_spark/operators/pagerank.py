@@ -103,7 +103,18 @@ def pagerank(
 
     resumed = drv.try_resume(spark) if resume else None
     if resumed is not None:
-        ranks, start_it, _ = resumed
+        ranks, start_it, hist = resumed
+        # reseed the tol-mode stopping state: a run that already converged
+        # (last logged l1_diff < tol) must not re-run an extra iteration —
+        # that would return a different rank vector than the uninterrupted
+        # run (same contract as cc's changed==0 reseed)
+        prev_l1 = hist.get(start_it, {}).get("l1_diff")
+        if tol is not None and prev_l1 is not None and float(prev_l1) < tol:
+            out = drv.finish(start_it)
+            edges_prep.unpersist()
+            dangling.unpersist()
+            verts.unpersist()
+            return out
     else:
         ranks = drv.start(verts.withColumn("rank", F.lit(1.0 / n)))
         start_it = 0

@@ -71,11 +71,16 @@ def triangles_df(edges: DataFrame) -> DataFrame:
     )
     lo = F.least("u", "v", "w")
     hi = F.greatest("u", "v", "w")
-    return tris.select(
-        lo.alias("a"),
-        (F.col("u") + F.col("v") + F.col("w") - lo - hi).alias("b"),
-        hi.alias("c"),
+    # middle corner picked conditionally, NOT as u+v+w-lo-hi: for raw
+    # --edges inputs (vids not dense-minted) three large int64 ids can
+    # overflow the intermediate sum; the corners are distinct so exactly
+    # one of them is neither least nor greatest
+    mid = (
+        F.when((F.col("u") != lo) & (F.col("u") != hi), F.col("u"))
+        .when((F.col("v") != lo) & (F.col("v") != hi), F.col("v"))
+        .otherwise(F.col("w"))
     )
+    return tris.select(lo.alias("a"), mid.alias("b"), hi.alias("c"))
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

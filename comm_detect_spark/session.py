@@ -54,10 +54,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # bucketed tables (sources/bucketed.py) land here, not in ./spark-warehouse
+        # bucketed tables (sources/bucketed.py) land here, not in
+        # ./spark-warehouse; per-process default so two concurrent sessions
+        # (e.g. parallel test runs) never race on saveAsTable overwrite of
+        # the same table name
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", f"/tmp/spark-warehouse-{os.getpid()}"
+            ),
         )
     )
     # shuffle/spill dirs on tmpfs when available: local[N] puts N writers on

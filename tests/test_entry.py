@@ -11,9 +11,21 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF = "/root/testdata/sf0.001"
-# generated VALUES oracles (louvain) must derive from the sf this test
-# compares at — the driver itself runs with the default (sf0.01)
-os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _oracle_sf_env():
+    """Generated VALUES oracles (louvain) must derive from the sf this test
+    compares at — the driver itself runs with the default (sf0.01). Scoped
+    to this module and restored afterward so other tests calling
+    oracle_sql() in the same pytest process see the default again."""
+    old = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
+    yield
+    if old is None:
+        os.environ.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+    else:
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = old
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

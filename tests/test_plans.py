@@ -181,6 +181,26 @@ class TestShuffleBudget:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
 
+    def test_dense_relabel_no_single_partition_exchange(self, spark):
+        """Louvain's dense relabel must never funnel the distinct label set
+        through one reducer: after the first local-move level on a web graph
+        the community count is still O(10^9). The two-phase rank
+        (graph.core.dense_ids) keeps every stage partition-parallel — the
+        plan may not contain a SinglePartition exchange (the signature of a
+        global-sort window)."""
+        from comm_detect_spark.operators.louvain import dense_relabel
+
+        state = spark.range(500).select(
+            F.col("id").alias("vid"),
+            ((F.col("id") % 37) * 1000).alias("label"),
+        )
+        out = dense_relabel(state)
+        assert "SinglePartition" not in plan_of(out), plan_of(out)
+        # unchanged semantics: dense 0..k-1 in ascending original-label order
+        rows = {r["vid"]: r["label"] for r in out.collect()}
+        assert sorted(set(rows.values())) == list(range(37))
+        assert all(rows[v] == v % 37 for v in range(500))
+
     def test_pagerank_iteration_single_exchange(self, spark):
         """pagerank's per-iteration contract: cached edges_prep hash(src, P)
         + ranks hash(vid, P) -> the only live exchange is the dst
