@@ -661,7 +661,9 @@ SELECT id, cosine FROM cos ORDER BY cosine DESC, id ASC LIMIT 5
 
 def oracle_sql() -> dict[str, str]:
     h60_sh = _H60_SQL.format(x="sh.shingle || '#' || u.i")
-    h60_norm = _H60_SQL.format(x=_SQL_NORM_TEXT)
+    # keep-rule key: FULL 128-bit md5 hex (DuckDB md5 == Spark md5 exactly);
+    # the 60-bit prefix is only for signature arithmetic needing a BIGINT
+    md5_norm = f"md5({_SQL_NORM_TEXT})"
     h60_shingle = _H60_SQL.format(x="sh.shingle")
     out = {
         "graph_volumes": f"""
@@ -791,7 +793,7 @@ FROM best WHERE rn = 1
 """,
         "exact_dedup": f"""
 WITH hashed AS (
-  SELECT doc_id AS id, {h60_norm} AS content_hash FROM documents
+  SELECT doc_id AS id, {md5_norm} AS content_hash FROM documents
 ),
 keep AS (SELECT content_hash, MIN(id) AS keep_id FROM hashed GROUP BY content_hash)
 SELECT h.id, k.keep_id, h.content_hash FROM hashed h JOIN keep k USING (content_hash)
@@ -974,7 +976,7 @@ lsh_pairs AS (
   WHERE a.id < b.id
 ),
 hashed AS (
-  SELECT doc_id AS id, {h60_norm} AS content_hash FROM documents
+  SELECT doc_id AS id, {md5_norm} AS content_hash FROM documents
 ),
 keep0 AS (SELECT content_hash, MIN(id) AS keep_id FROM hashed GROUP BY content_hash),
 exact_edges AS (

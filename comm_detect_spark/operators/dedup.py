@@ -34,8 +34,23 @@ def _norm(c):
 
 
 def _h60(c) -> F.Column:
-    """60-bit deterministic hash of a string column (md5-prefix)."""
+    """60-bit deterministic hash of a string column (md5-prefix).
+
+    ONLY for signature arithmetic the DuckDB oracle must replay as a BIGINT
+    (minhash min(), simhash bit votes). NEVER the key of a keep/delete rule:
+    at 10^12 documents the birthday bound on 60 bits gives ~4x10^5 expected
+    collisions — silently deleting distinct documents. Keep-rules key on
+    content_hash() (full 128-bit digest) instead."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def content_hash(c) -> F.Column:
+    """Full 128-bit content digest (md5 hex string) of the normalized text —
+    the production dedup key. Collision probability at 10^12 docs is
+    ~2^-40 per the birthday bound: negligible, unlike the 60-bit prefix
+    (see _h60). DuckDB's md5() emits the identical lowercase hex, so the
+    cross-engine oracle still matches bit-for-bit."""
+    return F.md5(_norm(c))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -55,9 +70,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, keep_id, content_hash): groups of byte-equal (after whitespace/
-    case normalization) docs; keep_id = min id of the group."""
+    case normalization) docs; keep_id = min id of the group. Keyed on the
+    FULL 128-bit md5 (see content_hash) — a keep-one-per-group rule must not
+    false-merge distinct documents at corpus scale."""
     hashed = df.select(
-        F.col(id_col).alias("id"), _h60(_norm(F.col(text_col))).alias("content_hash")
+        F.col(id_col).alias("id"), content_hash(F.col(text_col)).alias("content_hash")
     )
     keep = hashed.groupBy("content_hash").agg(F.min("id").alias("keep_id"))
     return hashed.join(keep, "content_hash").select("id", "keep_id", "content_hash")

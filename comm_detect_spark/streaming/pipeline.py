@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from comm_detect_spark.operators.dedup import _h60, _norm
+from comm_detect_spark.operators.dedup import content_hash
 
 
 def events_hourly_stream(
@@ -66,11 +66,13 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """First-arrival pass-through of documents whose normalized content
     hash has not been seen inside the watermark horizon. State = one row
-    per distinct content hash, expired by the watermark."""
+    per distinct content hash (FULL 128-bit digest — a streaming keep-rule
+    false-merging on a 60-bit key would silently drop distinct documents),
+    expired by the watermark."""
     hashed = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).cast("timestamp").alias("ts"),
-        _h60(_norm(F.col(text_col))).alias("content_hash"),
+        content_hash(F.col(text_col)).alias("content_hash"),
     )
     # dropDuplicatesWithinWatermark, NOT dropDuplicates: with the plain
     # variant the event-time column is not part of the dedup key, so state

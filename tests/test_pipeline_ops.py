@@ -69,6 +69,22 @@ class TestExactDedup:
         out = exact_duplicates(docs, "doc_id", "text")
         assert out.count() == docs.count()
 
+    def test_keep_rule_keys_on_full_128bit_digest(self, dup_docs):
+        """Collision contract: keep/delete rules key on the FULL md5 (128
+        bits, ~2^-40 collision odds at 10^12 docs), never the 60-bit oracle
+        prefix (_h60, ~4x10^5 expected false merges at that scale — silent
+        deletion of distinct documents). The prefix exists only so DuckDB
+        can replay signature arithmetic as a BIGINT."""
+        out = exact_duplicates(dup_docs, "doc_id", "text").collect()
+        hashes = {r["id"]: r["content_hash"] for r in out}
+        # full md5 hex string, not a truncated BIGINT
+        assert all(
+            isinstance(h, str) and len(h) == 32 for h in hashes.values()
+        )
+        # normalized-equal docs share it; distinct docs never do
+        assert hashes[0] == hashes[1] == hashes[4]
+        assert len({hashes[0], hashes[2], hashes[3]}) == 3
+
 
 class TestMinhash:
     def test_signatures_shape(self, dup_docs):
