@@ -238,16 +238,25 @@ def louvain(
     edges: DataFrame,
     n: int,
     eps: float = 1e-5,
-    num_blocks: int = 1,
+    num_blocks: int | None = None,
     max_levels: int | None = None,
     max_sweeps: int | None = None,
     driver_factory=None,
 ) -> tuple[DataFrame, int]:
     """Full recursive Louvain. Returns ((vid, label), levels).
 
+    ``num_blocks`` defaults to the shuffle-partition count
+    (lpa_async.default_num_blocks); pass 1 explicitly for oracle-parity
+    mode — a silent single-block default would serialize the whole graph
+    into one Python task.
+
     ``driver_factory()`` -> IterationDriver lets callers give each level its
     own checkpoint store.
     """
+    if num_blocks is None:
+        from comm_detect_spark.operators.lpa_async import default_num_blocks
+
+        num_blocks = default_num_blocks(spark)
     w_net = weight_net(edges)
     return _louvain_level(
         spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,

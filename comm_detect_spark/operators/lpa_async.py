@@ -37,6 +37,16 @@ from comm_detect_spark.plans.driver import IterationDriver
 _OUT_SCHEMA = "vid BIGINT, label BIGINT"
 
 
+def default_num_blocks(spark: SparkSession) -> int:
+    """Scale-derived block count for the Arrow-CSR kernels: one block per
+    shuffle partition, so the Python sweep parallelism tracks the cluster
+    size. ``num_blocks=1`` is the explicitly-requested oracle-parity mode —
+    it routes the WHOLE gathered edge table into a single applyInPandas
+    group (one task, one core, one worker's memory) and must never be a
+    silent default."""
+    return max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+
+
 def _block_kernel(edges_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataFrame:
     if edges_pdf.empty:
         return pd.DataFrame({"vid": [], "label": []}).astype("int64")
@@ -105,13 +115,18 @@ def lpa_async(
     edges: DataFrame,
     n: int,
     eps: float = 1e-4,
-    num_blocks: int = 1,
+    num_blocks: int | None = None,
     max_iter: int | None = None,
     driver: IterationDriver | None = None,
     resume: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns (vid, label). Reference stopping rule (plp.cc:90-93)."""
+    """Returns (vid, label). Reference stopping rule (plp.cc:90-93).
+
+    ``num_blocks`` defaults to the shuffle-partition count (see
+    default_num_blocks); pass 1 explicitly for oracle-parity mode."""
+    if num_blocks is None:
+        num_blocks = default_num_blocks(spark)
     drv = driver or IterationDriver()
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(p, "src").persist()

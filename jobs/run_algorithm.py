@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--iterations", type=int, default=10)
-    ap.add_argument("--num-blocks", type=int, default=32)
+    # None -> size-derived default (one block per shuffle partition);
+    # pass 1 explicitly for the oracle-parity single-task mode
+    ap.add_argument("--num-blocks", type=int, default=None)
     ap.add_argument("--checkpoint-root")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--resume", action="store_true")

@@ -32,6 +32,26 @@ class TestLpaAsync:
         b = to_vec(lpa_async(spark, jazz_df, n, num_blocks=4, max_iter=6), n)
         assert np.array_equal(a, b)
 
+    def test_default_num_blocks_is_scale_derived(self, spark, jazz, jazz_df):
+        """Library callers who pass no num_blocks must get the size-derived
+        block count (shuffle partitions), NOT the one-task parity mode —
+        num_blocks=1 serializes the whole graph into a single applyInPandas
+        group and is opt-in only."""
+        from comm_detect_spark.operators.lpa_async import default_num_blocks
+
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert default_num_blocks(spark) == p > 1
+        n = jazz[0]
+        # defaults == explicit num_blocks=p, and deterministic across runs
+        a = to_vec(lpa_async(spark, jazz_df, n, max_iter=3), n)
+        b = to_vec(lpa_async(spark, jazz_df, n, num_blocks=p, max_iter=3), n)
+        assert np.array_equal(a, b)
+        got_df, _ = louvain(spark, jazz_df, n, max_sweeps=2, max_levels=1)
+        want_df, _ = louvain(
+            spark, jazz_df, n, num_blocks=p, max_sweeps=2, max_levels=1
+        )
+        assert np.array_equal(to_vec(got_df, n), to_vec(want_df, n))
+
     def test_ring_of_cliques_single_block_cliques_uniform(self, spark):
         n, s, d, w = oracle.ring_of_cliques(k=4, c=8)
         e = edges_from_numpy(spark, n, s, d, w)
