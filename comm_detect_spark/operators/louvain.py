@@ -93,11 +93,22 @@ def _local_move_step(
     vols: DataFrame,
     w_net: int,
     num_blocks: int,
+    active_blocks: list[int] | None = None,
 ) -> DataFrame:
     """One sweep, cogrouped like lpa_async: the edge table is exchanged
     ONCE (block grouping, join on cached src partitioning exchange-free);
     the stale neighbor (label, community volume) table rides the small
-    precomputed (block, dst) structure."""
+    precomputed (block, dst) structure.
+
+    ``active_blocks`` (frontier): when given, only those blocks are
+    gathered and swept — the pmod(src) predicate pushes into the cached
+    edge scan, so inactive blocks cost nothing. Output-identical to the
+    full sweep (see _local_move for the proof)."""
+    if active_blocks is not None:
+        edges = edges.where(
+            F.pmod(F.col("src"), F.lit(num_blocks)).isin(active_blocks)
+        )
+        touch = touch.where(F.col("block").isin(active_blocks))
     comm_vols = (
         state.join(vols, "vid")
         .groupBy("label")
@@ -165,6 +176,7 @@ def _local_move(
     num_blocks: int,
     driver: IterationDriver | None,
     max_sweeps: int | None = None,
+    frontier: bool = True,
 ) -> tuple[DataFrame, int]:
     drv = driver or IterationDriver()
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -189,20 +201,55 @@ def _local_move(
     )
     threshold = int(n * eps)
     iterations, updated, unstable = 0, n, True
+    # Frontier (the reference's `updated` counter insight, plm.cc:289, made
+    # a work filter): after sweep 1, a block whose vertices all have (a) an
+    # untouched own community and (b) only neighbors in untouched
+    # communities provably repeats its no-move decision, so it need not be
+    # gathered. Touched communities V_t = old ∪ new labels of sweep t-1's
+    # movers. PROOF of output identity (block granularity): d ∉ V_t means
+    # no member of community d moved at any point during sweep t-1, so
+    # comm_vol(d) was constant through the sweep and equals the sweep-t
+    # start value; a neighbor that changed label is itself a mover, so its
+    # labels (old+new) ∈ V_t. An inactive vertex therefore re-evaluates dQ
+    # on bit-identical inputs and re-decides "no move"; by induction over
+    # the block's sweep order an all-inactive block performs zero moves and
+    # zero incremental comm_vol updates — exactly what skipping it yields.
+    # Blocks are independent within a sweep (Jacobi across blocks), so
+    # skipping cannot perturb gathered blocks.
+    active_blocks: list[int] | None = None
     while unstable and updated > threshold:
         if max_sweeps is not None and iterations >= max_sweeps:
             break
         iterations += 1
         new_state = drv.prepare(
-            _local_move_step(edges, touch, state, vols, w_net, num_blocks),
+            _local_move_step(
+                edges, touch, state, vols, w_net, num_blocks, active_blocks
+            ),
             iterations,
         )
-        updated = (
+        delta = (
             new_state.withColumnRenamed("label", "l2")
             .join(state, "vid")
             .where(F.col("l2") != F.col("label"))
-            .count()
         )
+        updated = delta.count()  # the one action that fills the cache
+        if frontier and updated > 0 and num_blocks > 1:
+            touched_comms = delta.select(
+                F.explode(F.array(F.col("label"), F.col("l2"))).alias("label")
+            ).distinct()
+            touched_vids = new_state.join(touched_comms, "label").select(
+                F.col("vid").alias("dst")
+            )
+            blocks = (
+                touched_vids.select(
+                    F.pmod(F.col("dst"), F.lit(num_blocks)).alias("block")
+                )
+                .unionAll(touch.join(touched_vids, "dst").select("block"))
+                .distinct()
+                .collect()  # ≤ num_blocks rows — driver-size safe
+            )
+            active = sorted(int(r["block"]) for r in blocks)
+            active_blocks = None if len(active) >= num_blocks else active
         state = drv.install(new_state, iterations, moved=updated)
         unstable = updated > 0
     out = drv.finish(iterations)
@@ -242,8 +289,13 @@ def louvain(
     max_levels: int | None = None,
     max_sweeps: int | None = None,
     driver_factory=None,
+    frontier: bool = True,
 ) -> tuple[DataFrame, int]:
     """Full recursive Louvain. Returns ((vid, label), levels).
+
+    ``frontier``: skip gathering blocks that provably cannot move this
+    sweep (output-identical — see _local_move; False forces full sweeps,
+    kept for the parity tests that pin the identity).
 
     ``num_blocks`` defaults to the shuffle-partition count
     (lpa_async.default_num_blocks); pass 1 explicitly for oracle-parity
@@ -260,20 +312,21 @@ def louvain(
     w_net = weight_net(edges)
     return _louvain_level(
         spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
-        driver_factory, 1,
+        driver_factory, 1, frontier,
     )
 
 
 def _louvain_level(
     spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
-    driver_factory, level,
+    driver_factory, level, frontier=True,
 ):
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(p, "src").persist()
     e.count()
     drv = driver_factory() if driver_factory else None
     state, _ = _local_move(
-        spark, e, n, w_net, eps, num_blocks, drv, max_sweeps=max_sweeps
+        spark, e, n, w_net, eps, num_blocks, drv, max_sweeps=max_sweeps,
+        frontier=frontier,
     )
     moved_any = state.where(F.col("label") != F.col("vid")).count() > 0
     if moved_any and (max_levels is None or level < max_levels):
@@ -296,6 +349,7 @@ def _louvain_level(
                 max_sweeps,
                 driver_factory,
                 level + 1,
+                frontier,
             )
             # prolong: label[i] <- coarse_label[label[i]] (plm.cc:174-185)
             state = state.join(
