@@ -177,9 +177,32 @@ def _local_move(
     driver: IterationDriver | None,
     max_sweeps: int | None = None,
     frontier: bool = True,
+    resume: bool = False,
 ) -> tuple[DataFrame, int]:
     drv = driver or IterationDriver()
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    threshold = int(n * eps)
+    # resume BEFORE building the per-level structures: a level whose store
+    # holds a final snapshot (finish() logged final=True) is already done —
+    # return its saved pre-relabel state, re-applying the deterministic
+    # dense relabel, without touching the edge table at all
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        state, iterations, hist = resumed
+        if any(m.get("final") for m in drv.store.metrics()):
+            if iterations > 1:
+                out = dense_relabel(state).localCheckpoint(eager=True)
+                state.unpersist()
+                return out, iterations
+            return state, iterations
+        # killed mid-level: reseed the stopping counters from the metrics
+        # history (a snapshot saved by prepare() before its install() logged
+        # can lack the row — fall back to "keep sweeping", conservative)
+        updated = int(hist.get(iterations, {}).get("moved", n))
+        unstable = updated > 0
+    else:
+        state = None
+        iterations, updated, unstable = 0, n, True
     vols = volumes_df(edges).persist()
     vols.count()
     # block -> touched-dst structure, computed once per level; the aliases
@@ -194,13 +217,12 @@ def _local_move(
         .persist()
     )
     touch.count()
-    state = drv.start(
-        vertex_range(spark, n)
-        .withColumn("label", F.col("vid"))
-        .repartition(p, "vid")
-    )
-    threshold = int(n * eps)
-    iterations, updated, unstable = 0, n, True
+    if state is None:
+        state = drv.start(
+            vertex_range(spark, n)
+            .withColumn("label", F.col("vid"))
+            .repartition(p, "vid")
+        )
     # Frontier (the reference's `updated` counter insight, plm.cc:289, made
     # a work filter): after sweep 1, a block whose vertices all have (a) an
     # untouched own community and (b) only neighbors in untouched
@@ -290,8 +312,17 @@ def louvain(
     max_sweeps: int | None = None,
     driver_factory=None,
     frontier: bool = True,
+    resume: bool = False,
 ) -> tuple[DataFrame, int]:
     """Full recursive Louvain. Returns ((vid, label), levels).
+
+    ``resume=True`` (requires ``driver_factory`` handing out per-level
+    stores, e.g. run_id-L{n}): levels whose store holds a final snapshot
+    fast-path through it; the level killed mid-sweep reseeds its counters
+    from the metrics history and continues. The recursion is deterministic,
+    so the factory hands out the SAME run-id sequence as the killed run —
+    that naming is the level marker (plm.cc:336-412 is the recursive driver
+    this protects).
 
     ``frontier``: skip gathering blocks that provably cannot move this
     sweep (output-identical — see _local_move; False forces full sweeps,
@@ -312,13 +343,13 @@ def louvain(
     w_net = weight_net(edges)
     return _louvain_level(
         spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
-        driver_factory, 1, frontier,
+        driver_factory, 1, frontier, resume,
     )
 
 
 def _louvain_level(
     spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
-    driver_factory, level, frontier=True,
+    driver_factory, level, frontier=True, resume=False,
 ):
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.repartition(p, "src").persist()
@@ -326,7 +357,7 @@ def _louvain_level(
     drv = driver_factory() if driver_factory else None
     state, _ = _local_move(
         spark, e, n, w_net, eps, num_blocks, drv, max_sweeps=max_sweeps,
-        frontier=frontier,
+        frontier=frontier, resume=resume,
     )
     moved_any = state.where(F.col("label") != F.col("vid")).count() > 0
     if moved_any and (max_levels is None or level < max_levels):
@@ -350,6 +381,7 @@ def _louvain_level(
                 driver_factory,
                 level + 1,
                 frontier,
+                resume,
             )
             # prolong: label[i] <- coarse_label[label[i]] (plm.cc:174-185)
             state = state.join(

@@ -54,9 +54,8 @@ def main():
 
     if args.resume and not args.checkpoint_root:
         ap.error("--resume requires --checkpoint-root")
-    if args.resume and args.algo in ("louvain", "triangles"):
-        ap.error(f"--resume is not supported for {args.algo} "
-                 "(multi-level / non-iterative)")
+    if args.resume and args.algo == "triangles":
+        ap.error("--resume is not supported for triangles (non-iterative)")
 
     vertices = None
     if args.pages:
@@ -99,7 +98,10 @@ def main():
         out = lpa_async(spark, edges, n, num_blocks=args.num_blocks,
                         driver=driver, resume=args.resume)
     elif args.algo == "louvain":
-        # one checkpoint store per level (level counter in the run id)
+        # one checkpoint store per level (level counter in the run id);
+        # the recursion is deterministic, so a resumed run re-requests the
+        # SAME run-id sequence — completed levels fast-path through their
+        # final snapshots, the killed level reseeds mid-sweep
         levels_seen = [0]
 
         def driver_factory():
@@ -109,6 +111,7 @@ def main():
         out, levels = louvain(
             spark, edges, n, num_blocks=args.num_blocks,
             driver_factory=driver_factory if args.checkpoint_root else None,
+            resume=args.resume,
         )
     else:
         out = triangle_counts(edges)

@@ -84,6 +84,92 @@ class TestResume:
         assert all(m["algo"] == "pagerank" for m in ms)
 
 
+class _KillAfterInstalls(IterationDriver):
+    """Raises after k completed install() calls — the in-process stand-in
+    for a crash between sweeps (state saved, metric logged, then death)."""
+
+    def __init__(self, store, kill_after):
+        super().__init__(store=store, checkpoint_every=1)
+        self.kill_after = kill_after
+        self.installs = 0
+
+    def install(self, prepared, iteration, **metrics):
+        out = super().install(prepared, iteration, **metrics)
+        self.installs += 1
+        if self.installs >= self.kill_after:
+            raise RuntimeError("simulated crash")
+        return out
+
+
+class _KillOnStart(IterationDriver):
+    """Raises on start() — a crash exactly at a level boundary (previous
+    level finalized, this one never began)."""
+
+    def start(self, state, iteration=0):
+        raise RuntimeError("simulated crash at level boundary")
+
+
+class TestLouvainResume:
+    def _factory(self, tmp_path, kill_level=None, kill_cls=None, kill_arg=None):
+        levels = [0]
+
+        def factory():
+            levels[0] += 1
+            store = CheckpointStore(
+                str(tmp_path), f"lv-L{levels[0]}", algo="louvain"
+            )
+            if kill_level is not None and levels[0] == kill_level:
+                if kill_cls is _KillAfterInstalls:
+                    return _KillAfterInstalls(store, kill_arg)
+                return _KillOnStart(store=store, checkpoint_every=1)
+            return IterationDriver(store=store, checkpoint_every=1)
+
+        return factory
+
+    def test_kill_at_sweep_k_resumes_identical(self, spark, jazz, jazz_df, tmp_path):
+        from comm_detect_spark.operators.louvain import louvain
+
+        n = jazz[0]
+        full, full_levels = louvain(spark, jazz_df, n, num_blocks=4)
+        fullv = to_vec(full, n)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            louvain(
+                spark, jazz_df, n, num_blocks=4,
+                driver_factory=self._factory(
+                    tmp_path, kill_level=1,
+                    kill_cls=_KillAfterInstalls, kill_arg=2,
+                ),
+            )
+        got, levels = louvain(
+            spark, jazz_df, n, num_blocks=4,
+            driver_factory=self._factory(tmp_path), resume=True,
+        )
+        assert levels == full_levels
+        assert np.array_equal(to_vec(got, n), fullv)
+
+    def test_kill_at_level_boundary_resumes_identical(
+        self, spark, jazz, jazz_df, tmp_path
+    ):
+        from comm_detect_spark.operators.louvain import louvain
+
+        n = jazz[0]
+        full, full_levels = louvain(spark, jazz_df, n, num_blocks=4)
+        fullv = to_vec(full, n)
+        with pytest.raises(RuntimeError, match="level boundary"):
+            louvain(
+                spark, jazz_df, n, num_blocks=4,
+                driver_factory=self._factory(
+                    tmp_path, kill_level=2, kill_cls=_KillOnStart
+                ),
+            )
+        got, levels = louvain(
+            spark, jazz_df, n, num_blocks=4,
+            driver_factory=self._factory(tmp_path), resume=True,
+        )
+        assert levels == full_levels
+        assert np.array_equal(to_vec(got, n), fullv)
+
+
 class TestOperatorResumeFlag:
     """resume=True on the operators themselves (jobs/run_algorithm --resume)."""
 
