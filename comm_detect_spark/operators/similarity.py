@@ -20,6 +20,7 @@ arrays — no RNG at execution time, resumable plans stay identical.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -150,21 +151,56 @@ def ivf_list_expr(vec_col, centroids: np.ndarray):
     """Nearest-centroid id (euclidean, ties -> lowest id) as a pure column
     expression — ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2, with ||v||^2
     constant across candidates, so argmin reduces to the JVM-side
-    argmax of (v.c - ||c||^2 / 2)."""
+    argmax of (v.c - ||c||^2 / 2).
+
+    Shaped as array_max over (score, -id) structs: LINEAR tree size in the
+    centroid count (an earlier nested-CASE formulation doubled the tree per
+    centroid — exponential, StackOverflow by k≈64). Struct ordering gives
+    the exact argmax-with-lowest-id-tie rule: max score first, then max -id
+    == min id. Still literal-heavy (k×dim constants); past a few hundred
+    centroids use ivf_assign_udf."""
     v = _as_double(vec_col)
-    best_score, best_id = None, None
+    entries = []
     for i, c in enumerate(centroids):
         clit = F.array(*[F.lit(float(x)) for x in c])
         score = F.aggregate(
             F.zip_with(v, clit, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
         ) - F.lit(float(c @ c) / 2.0)
-        if best_score is None:
-            best_score, best_id = score, F.lit(i)
-        else:
-            better = score > best_score  # strict: ties keep the lower id
-            best_score = F.when(better, score).otherwise(best_score)
-            best_id = F.when(better, F.lit(i)).otherwise(best_id)
-    return best_id
+        entries.append(F.struct(score.alias("s"), F.lit(-i).alias("ni")))
+    return -F.array_max(F.array(*entries))["ni"]
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Nearest-centroid assignment as ONE Arrow-batched matmul per batch —
+    the scale path for real centroid counts (k in the thousands), where
+    ivf_list_expr's k-deep literal CASE chain blows up the Catalyst tree
+    and re-folds k×dim literals per row. Identical tie rule to the expr:
+    strict argmax of (v.c - ||c||^2/2), ties -> lowest centroid id
+    (np.argmax takes the first maximum). The centroid matrix rides the UDF
+    closure (k×dim float64 — a few MB even at k=4096; Spark broadcasts the
+    serialized function once per executor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    bias = 0.5 * (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.array(
+            [np.asarray(x, dtype=np.float64) for x in vecs.tolist()]
+        )
+        scores = v @ c.T - bias
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_lists(centroids: np.ndarray, query, nprobe: int) -> list[int]:
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
 
 
 def ivf_topk(
@@ -175,17 +211,63 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: exact cosine over only the ``nprobe`` inverted
     lists nearest to the query — the expected scan is n * nprobe /
-    n_centroids. Partition-prunable when the table is written partitioned
-    by the list id (ivf_list_expr is deterministic, so list assignment can
-    be a stored column)."""
-    q = np.asarray(query, dtype=np.float64)
-    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
-    listed = df.withColumn("_ivf", ivf_list_expr(F.col(vec_col), centroids))
-    cand = listed.where(F.col("_ivf").isin(probe))
+    n_centroids.
+
+    ``assign``: "expr" (pure-column literal CASE — oracle-replayable, fine
+    to a few dozen centroids), "udf" (Arrow batch matmul — the scale mode),
+    or "auto" (expr up to 32 centroids, udf beyond; the two agree
+    element-exactly — pinned in tests). For repeated queries write the
+    assignment once with write_ivf_table and use ivf_topk_pruned: the probe
+    filter then prunes parquet partitions instead of recomputing."""
+    probe = _probe_lists(centroids, query, nprobe)
+    if assign == "auto":
+        assign = "expr" if len(centroids) <= 32 else "udf"
+    if assign == "expr":
+        col = ivf_list_expr(F.col(vec_col), centroids)
+    else:
+        col = ivf_assign_udf(centroids)(F.col(vec_col))
+    cand = df.withColumn("_ivf", col).where(F.col("_ivf").isin(probe))
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
+def write_ivf_table(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the table partitioned BY LIST ID, so a
+    probe of nprobe lists reads exactly nprobe partitions (parquet
+    partition pruning — the promise ivf_topk can only approximate by
+    recomputing assignments per query). Assignment via the batch-matmul
+    UDF: works at real centroid counts."""
+    listed = df.withColumn(
+        "list_id", ivf_assign_udf(centroids)(F.col(vec_col))
+    )
+    listed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a write_ivf_table index: the list_id filter is a
+    PARTITION filter — non-probed lists are never read (asserted on the
+    plan in test_plans)."""
+    probe = _probe_lists(centroids, query, nprobe)
+    listed = spark.read.parquet(path)
+    cand = listed.where(F.col("list_id").isin(probe))
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
 

@@ -342,3 +342,83 @@ class TestIvf:
         # a partial probe still finds the query itself
         part = [r["id"] for r in ivf_topk(embeddings, q, cent, k=5, nprobe=1).collect()]
         assert 7 in part
+
+    def test_udf_assignment_equals_expr(self, spark):
+        """The scale-mode batch-matmul assignment (ivf_assign_udf) must pick
+        the SAME list as the literal-CASE expression for every vector —
+        same score formula, same strict-argmax lowest-id tie rule — so the
+        oracle built against the expr also certifies the udf. Pinned at
+        k=64, the regime both modes support: the nested CASE chain
+        StackOverflows Catalyst somewhere below k=256, which is precisely
+        why the udf mode exists (see the k=1024 test below for its own
+        ground truth)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from comm_detect_spark.operators.similarity import (
+            ivf_assign_udf,
+            ivf_list_expr,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        cent = rng.standard_normal((64, 4))
+        vecs = rng.standard_normal((512, 4))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        got = df.select(
+            "vec_id",
+            ivf_assign_udf(cent)(F.col("embedding")).alias("udf_list"),
+            ivf_list_expr(F.col("embedding"), cent).alias("expr_list"),
+        ).collect()
+        assert len(got) == 512
+        assert all(r["udf_list"] == r["expr_list"] for r in got)
+
+    def test_udf_assignment_at_real_centroid_count(self, spark):
+        """k=1024 — the count a real 100 TB ANN index needs and the expr
+        mode structurally cannot reach: assignments must equal the
+        driver-side numpy argmax (same formula, first-max tie rule)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from comm_detect_spark.operators.similarity import ivf_assign_udf
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        cent = rng.standard_normal((1024, 8))
+        vecs = rng.standard_normal((256, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        got = {
+            r["vec_id"]: r["list"]
+            for r in df.select(
+                "vec_id", ivf_assign_udf(cent)(F.col("embedding")).alias("list")
+            ).collect()
+        }
+        want = np.argmax(
+            vecs @ cent.T - 0.5 * (cent * cent).sum(axis=1), axis=1
+        )
+        assert all(got[i] == int(want[i]) for i in range(256))
+
+    def test_write_ivf_table_roundtrip_and_pruned_topk(
+        self, spark, embeddings, tmp_path
+    ):
+        from comm_detect_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_fit_centroids,
+            ivf_topk_pruned,
+            write_ivf_table,
+        )
+
+        cent = ivf_fit_centroids(embeddings, n_centroids=8)
+        path = str(tmp_path / "ivf")
+        write_ivf_table(embeddings, path, cent)
+        q = embeddings.where("vec_id = 7").collect()[0]["embedding"]
+        q = [float(x) for x in q]
+        # full probe over the materialized index == exact top-k
+        approx = [
+            r["id"]
+            for r in ivf_topk_pruned(spark, path, q, cent, k=5, nprobe=8).collect()
+        ]
+        exact = [r["id"] for r in brute_force_topk(embeddings, q, k=5).collect()]
+        assert approx == exact

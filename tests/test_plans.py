@@ -181,6 +181,34 @@ class TestShuffleBudget:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
 
+    def test_ivf_pruned_probe_is_a_partition_filter(self, spark, tmp_path):
+        """write_ivf_table partitions by list_id, so ivf_topk_pruned's probe
+        must reach the scan as a PARTITION filter (non-probed lists never
+        read) — not a post-scan predicate."""
+        import numpy as np
+
+        from comm_detect_spark.operators.similarity import (
+            ivf_topk_pruned,
+            write_ivf_table,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        vecs = rng.standard_normal((64, 4))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        cent = rng.standard_normal((8, 4))
+        path = str(tmp_path / "ivf")
+        write_ivf_table(df, path, cent)
+        out = ivf_topk_pruned(
+            spark, path, [float(x) for x in vecs[0]], cent, k=3, nprobe=2
+        )
+        plan = plan_of(out)
+        pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf and any("list_id" in l for l in pf), plan
+        assert out.count() == 3
+
     def test_dense_relabel_no_single_partition_exchange(self, spark):
         """Louvain's dense relabel must never funnel the distinct label set
         through one reducer: after the first local-move level on a web graph
