@@ -345,13 +345,14 @@ def _q_embedding_ivf_top5(spark, sf_dir):
 
 
 def _q_embedding_ann_pairs(spark, sf_dir):
-    # LSH-bucketed pairs; the DuckDB oracle embeds the SAME seed-42
-    # hyperplane literals (oracle_sql generates them), so the full
-    # bucket + cosine pipeline is cross-engine verified. threshold=0.3:
-    # the synthetic embeddings are near-orthogonal (max pair cosine ~0.51),
-    # a "near-dup" threshold would make the check vacuously empty.
+    # Multi-seed LSH-bucketed pairs (seeds 42+43 — the recall knob); the
+    # DuckDB oracle embeds the SAME hyperplane literals per seed
+    # (oracle_sql generates them), so the full union/dedup/cosine pipeline
+    # is cross-engine verified. threshold=0.3: the synthetic embeddings are
+    # near-orthogonal (max pair cosine ~0.51), a "near-dup" threshold would
+    # make the check vacuously empty.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_pairs(emb, threshold=0.3, bits=4, dim=64)
+    return ann_pairs(emb, threshold=0.3, bits=4, dim=64, seeds=[42, 43])
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -564,41 +565,55 @@ def _louvain_sweep1_oracle_values_sql(sf_dir: str) -> str:
 def _ann_pairs_oracle_sql(
     dim: int = 64,
     bits: int = 4,
-    seed: int = 42,
+    seeds: tuple[int, ...] = (42, 43),
     threshold: float = 0.3,
     cap: int = 100_000,
 ) -> str:
-    """Generate the embedding_ann_pairs oracle: the seed-42 hyperplanes are
+    """Generate the embedding_ann_pairs oracle: each seed's hyperplanes are
     inlined as DOUBLE[] literals (repr round-trips exactly), so DuckDB runs
-    the identical bucket -> cap -> pairwise-cosine pipeline."""
+    the identical multi-seed bucket -> cap -> union/dedup -> cosine-verify
+    pipeline."""
     from comm_detect_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, bits, seed)
-    terms = []
-    for i, p in enumerate(planes):
-        lit = "[" + ",".join(repr(float(x)) for x in p) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit}) > 0 "
-            f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
-    return f"""
-WITH bucketed AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket
-  FROM embeddings
+    ctes, pair_sels = [], []
+    for s in seeds:
+        planes = _hyperplanes(dim, bits, s)
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+            )
+        bucket = " + ".join(terms)
+        ctes.append(
+            f"""bucketed_{s} AS (
+  SELECT id, {bucket} AS bucket FROM base
 ),
-capped AS (
-  SELECT * FROM bucketed
+capped_{s} AS (
+  SELECT * FROM bucketed_{s}
   QUALIFY ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY id) <= {cap}
 ),
-pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-  FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id
-)
-SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+pairs_{s} AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM capped_{s} a JOIN capped_{s} b ON a.bucket = b.bucket AND a.id < b.id
+)"""
+        )
+        pair_sels.append(f"SELECT id_a, id_b FROM pairs_{s}")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{",".join(ctes)},
+cand AS (SELECT DISTINCT id_a, id_b FROM ({" UNION ALL ".join(pair_sels)}))
+SELECT c.id_a, c.id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM cand c JOIN base a ON a.id = c.id_a JOIN base b ON b.id = c.id_b
+WHERE ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
 """
 
 

@@ -72,11 +72,23 @@ def connected_components(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        # pointer jump: comp <- comp[comp] (labels only shrink)
+        # pointer jump: comp <- comp[comp] (labels only shrink). SKEW NOTE:
+        # the probe side concentrates the giant component's id on one join
+        # key (a web graph's largest CC is most of the graph). Two guards:
+        # (1) the build side is semi-filtered to ids that are actually some
+        # vertex's comp — the distinct-comp set shrinks every round, so the
+        # build side quickly drops under the broadcast threshold and AQE
+        # turns the jump into a broadcast join (NO exchange of the skewed
+        # probe side at all); (2) until then, AQE skew-join splitting
+        # (spark.sql.adaptive.skewJoin, on in session.py) splits the hot
+        # partition. Same story as pagerank's salted hub aggregation.
+        needed = merged.select("comp").distinct()
         jump = merged.alias("a").join(
             merged.select(
                 F.col("vid").alias("comp"), F.col("comp").alias("jcomp")
-            ).alias("b"),
+            )
+            .join(needed, "comp", "semi")
+            .alias("b"),
             "comp",
             "left",
         )

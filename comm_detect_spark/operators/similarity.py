@@ -280,55 +280,64 @@ def ann_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = 100_000,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """(id_a < id_b, cosine) for bucket-colliding pairs with cosine >=
-    threshold — embedding near-dup dedup. Recall misses cross-bucket pairs
-    (standard LSH trade: raise recall by lowering bits or unioning several
-    seeds).
+    threshold — embedding near-dup dedup. Recall misses cross-bucket pairs;
+    the recall knobs are lowering ``bits`` or passing several ``seeds``:
+    candidate pairs from each seed's hyperplane family are unioned and
+    deduplicated BEFORE the cosine verify, so each surviving pair is scored
+    once (a pair is missed only if split by EVERY family — recall
+    1-(1-p)^s for per-family collision probability p).
 
     ``dim``: embedding dimensionality; pass it when known to keep the plan
     fully lazy (when None, one row is sampled to learn it).
     ``max_bucket_size``: hub-bucket guard — a pathological bucket (e.g. many
     identical vectors) is otherwise a quadratic bomb at scale. Buckets are
     deterministically truncated to their ``max_bucket_size`` lowest ids
-    before the pairwise stage (the per-bucket row_number is a sort, linear
-    work — the O(S^2) join is what it prevents). Dropped rows lose their
-    pairs; that is the documented recall trade, not silent corruption."""
+    (per seed) before the pairwise stage (the per-bucket row_number is a
+    sort, linear work — the O(S^2) join is what it prevents). Dropped rows
+    lose their pairs; that is the documented recall trade, not silent
+    corruption."""
+    if seeds is None:
+        seeds = [seed]
     if dim is None:
         sample = df.select(vec_col).first()
         dim = len(sample[vec_col])
-    planes = _hyperplanes(dim, bits, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = None
+    for s in seeds:
+        planes = _hyperplanes(dim, bits, s)
+        bucketed = base.withColumn("bucket", bucket_expr(F.col("v"), planes))
+        if max_bucket_size is not None:
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("bucket").orderBy("id")
-        bucketed = (
-            bucketed.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
+            w = Window.partitionBy("bucket").orderBy("id")
+            bucketed = (
+                bucketed.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= max_bucket_size)
+                .drop("_rn")
+            )
+        a = bucketed.select(F.col("id").alias("id_a"), "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+        p = (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
         )
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.distinct()  # one verify per pair, however many seeds hit it
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
     )
-    b = bucketed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
-    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     va, vb = _as_double(F.col("va")), _as_double(F.col("vb"))
     dot = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
     )
     na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda a_, x: a_ + x * x))
     nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda a_, x: a_ + x * x))
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine")
-        )
-        .where(F.col("cosine") >= threshold)
-        .distinct()
-    )
+    return pairs.select(
+        "id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

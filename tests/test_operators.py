@@ -73,6 +73,29 @@ class TestConnectedComponents:
         got = to_vec(connected_components(spark, jazz_df, n), n)
         assert np.all(got == 0)
 
+    def test_giant_component_star_skew(self, spark):
+        """Adversarial skew: a star with 10^6 spokes collapses every vertex
+        onto comp=0 after round 1, so the pointer-jump probe side carries
+        ONE join key. The semi-filtered build side (components.py) lets AQE
+        broadcast it instead of shuffling the hot key; this must complete
+        quickly and exactly."""
+        from pyspark.sql import functions as F
+
+        n = 1_000_001
+        spokes = spark.range(1, n).select(
+            F.lit(0).cast("bigint").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(1).cast("bigint").alias("weight"),
+        )
+        e = spokes.unionAll(
+            spokes.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        out = connected_components(spark, e, n)
+        assert out.where(F.col("comp") != 0).count() == 0
+        assert out.count() == n
+
 
 class TestLpaSync:
     def test_jazz_exact(self, spark, jazz, jazz_df):

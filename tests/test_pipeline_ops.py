@@ -279,6 +279,42 @@ class TestAnnBucketCap:
         assert out.count() == 12 * 11 // 2
 
 
+class TestAnnMultiSeed:
+    def test_multi_seed_union_improves_recall(self, spark):
+        """Planted near-dup pairs: one hyperplane family splits some of
+        them across buckets (the LSH recall loss); unioning candidates from
+        several seeds recovers pairs every single family missed. Data and
+        seeds are fixed, so the recalls are deterministic."""
+        import numpy as np
+        from comm_detect_spark.operators.similarity import ann_pairs
+
+        rng = np.random.Generator(np.random.PCG64(5))
+        base = rng.standard_normal((40, 16))
+        rows = []
+        for i, b in enumerate(base):
+            v1 = b + 0.05 * rng.standard_normal(16)
+            rows.append((2 * i, [float(x) for x in b]))
+            rows.append((2 * i + 1, [float(x) for x in v1]))
+        df = spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+        true_pairs = {(2 * i, 2 * i + 1) for i in range(40)}
+
+        def hits(seeds):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in ann_pairs(
+                    df, threshold=0.9, bits=12, dim=16, seeds=seeds
+                ).collect()
+            }
+            return got & true_pairs
+
+        h1 = hits([42])
+        h3 = hits([42, 43, 44])
+        assert len(h1) < 40  # one family provably misses some (non-vacuous)
+        assert h1 <= h3 and len(h3) > len(h1)
+
+
 class TestCorpusDedup:
     def test_clusters_and_keep_rule(self, spark, dup_docs):
         from comm_detect_spark.operators.corpus import corpus_keep_list
