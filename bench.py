@@ -129,9 +129,25 @@ def main() -> None:
         "embedding_top5",
         "embedding_ivf_top5",
         "events_hourly",
+        # the expensive compositions a user actually runs end-to-end —
+        # benched so regressions on the louvain/CC/dedup hot paths are
+        # visible in BENCH_r*
+        "cc_full",
+        "corpus_dedup",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: queries[name](spark, sf_dir).count())
+
+    # full Louvain in oracle-parity mode (num_blocks=1) is a single-task
+    # kernel by construction — sf0.01 exercises the whole recursion at a
+    # cost that keeps the bench loop tight (the per-round brief's call)
+    lv_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01")
+    if not os.path.isdir(lv_dir):
+        lv_dir = sf_dir
+    timed(
+        "louvain_communities",
+        lambda: queries["louvain_communities"](spark, lv_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -150,6 +166,7 @@ def main() -> None:
             "pr_iters": pr_iters,
             "lpa_sweeps": lpa_sweeps,
             "cpus": cpus,
+            "louvain_sf_dir": lv_dir,
         },
     }
     print(json.dumps(result))
