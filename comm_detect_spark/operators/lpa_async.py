@@ -78,11 +78,23 @@ def _block_kernel(edges_pdf: pd.DataFrame, labels_pdf: pd.DataFrame) -> pd.DataF
 
 
 def lpa_async_step(
-    edges: DataFrame, touch: DataFrame, state: DataFrame, num_blocks: int
+    edges: DataFrame,
+    touch: DataFrame,
+    state: DataFrame,
+    num_blocks: int,
+    active_blocks: list[int] | None = None,
 ) -> DataFrame:
     """One async sweep. ``state`` = (vid, label); labels carried in GLOBAL
     label space (kernel local ids never leak). ``touch`` = distinct
-    (block, dst) over the edges (precomputed by lpa_async)."""
+    (block, dst) over the edges (precomputed by lpa_async).
+
+    ``active_blocks`` (frontier): when given, only those blocks are
+    gathered — output-identical to the full sweep (see lpa_async)."""
+    if active_blocks is not None:
+        edges = edges.where(
+            F.pmod(F.col("src"), F.lit(num_blocks)).isin(active_blocks)
+        )
+        touch = touch.where(F.col("block").isin(active_blocks))
     gathered = edges.join(
         state.select(F.col("vid").alias("src"), F.col("label").alias("src_label")),
         "src",
@@ -120,11 +132,22 @@ def lpa_async(
     driver: IterationDriver | None = None,
     resume: bool = False,
     num_partitions: int | None = None,
+    frontier: bool = True,
 ) -> DataFrame:
     """Returns (vid, label). Reference stopping rule (plp.cc:90-93).
 
     ``num_blocks`` defaults to the shuffle-partition count (see
-    default_num_blocks); pass 1 explicitly for oracle-parity mode."""
+    default_num_blocks); pass 1 explicitly for oracle-parity mode.
+
+    ``frontier``: after sweep 1, skip gathering blocks none of whose
+    members changed or has a changed neighbor (the reference PLP's
+    active-set insight, plp.cc:90-93 / the Staudt-Meyerhenke paper's
+    active nodes). OUTPUT-IDENTICAL: a dominant-label decision depends
+    only on neighbor labels, so a vertex with an unchanged neighborhood
+    re-decides "keep"; by induction over the block's Gauss-Seidel order an
+    all-inactive block performs zero moves — exactly what skipping yields
+    (blocks are Jacobi-independent within a sweep). Pinned against
+    frontier=False in tests."""
     if num_blocks is None:
         num_blocks = default_num_blocks(spark)
     drv = driver or IterationDriver()
@@ -158,18 +181,33 @@ def lpa_async(
             .repartition(p, "vid")
         )
         updated, updated_prev, it = n, 0, 0
+    active_blocks: list[int] | None = None
     while (updated > threshold) and (abs(updated_prev - updated) > threshold):
         if max_iter is not None and it >= max_iter:
             break
         it += 1
         updated_prev = updated
-        new_state = drv.prepare(lpa_async_step(e, touch, state, num_blocks), it)
-        updated = (
+        new_state = drv.prepare(
+            lpa_async_step(e, touch, state, num_blocks, active_blocks), it
+        )
+        delta = (
             new_state.withColumnRenamed("label", "l2")
             .join(state, "vid")
             .where(F.col("l2") != F.col("label"))
-            .count()
         )
+        updated = delta.count()  # the one action that fills the cache
+        if frontier and updated > 0 and num_blocks > 1:
+            changed = delta.select(F.col("vid").alias("dst"))
+            blocks = (
+                changed.select(
+                    F.pmod(F.col("dst"), F.lit(num_blocks)).alias("block")
+                )
+                .unionAll(touch.join(changed, "dst").select("block"))
+                .distinct()
+                .collect()  # ≤ num_blocks rows — driver-size safe
+            )
+            active = sorted(int(r["block"]) for r in blocks)
+            active_blocks = None if len(active) >= num_blocks else active
         state = drv.install(new_state, it, updated=updated)
     out = drv.finish(it)
     e.unpersist()

@@ -32,24 +32,6 @@ class TestLpaAsync:
         b = to_vec(lpa_async(spark, jazz_df, n, num_blocks=4, max_iter=6), n)
         assert np.array_equal(a, b)
 
-    def test_frontier_sweeps_output_identical(self, spark, jazz, jazz_df):
-        """Frontier-limited sweeps (skip blocks with no vertex adjacent to a
-        touched community) must be OUTPUT-IDENTICAL to full sweeps — the
-        skip rule is a proof, not a heuristic (louvain._local_move). Pinned
-        on jazz (multi-block: the mode where the frontier actually skips)
-        and on a ring of cliques (converges with long quiet tails — the
-        frontier's best case)."""
-        n = jazz[0]
-        a, la = louvain(spark, jazz_df, n, num_blocks=4, frontier=True)
-        b, lb = louvain(spark, jazz_df, n, num_blocks=4, frontier=False)
-        assert la == lb
-        assert np.array_equal(to_vec(a, n), to_vec(b, n))
-        n2, s, d, w = oracle.ring_of_cliques(k=6, c=8)
-        e = edges_from_numpy(spark, n2, s, d, w)
-        a2, _ = louvain(spark, e, n2, num_blocks=8, frontier=True)
-        b2, _ = louvain(spark, e, n2, num_blocks=8, frontier=False)
-        assert np.array_equal(to_vec(a2, n2), to_vec(b2, n2))
-
     def test_default_num_blocks_is_scale_derived(self, spark, jazz, jazz_df):
         """Library callers who pass no num_blocks must get the size-derived
         block count (shuffle partitions), NOT the one-task parity mode —
@@ -70,6 +52,24 @@ class TestLpaAsync:
         )
         assert np.array_equal(to_vec(got_df, n), to_vec(want_df, n))
 
+    def test_frontier_sweeps_output_identical(self, spark, jazz, jazz_df):
+        """Active-set sweeps (skip blocks with no changed member/neighbor)
+        must equal full sweeps exactly — the skip rule is a proof, not a
+        heuristic (lpa_async docstring)."""
+        n = jazz[0]
+        a = to_vec(
+            lpa_async(spark, jazz_df, n, num_blocks=4, frontier=True), n
+        )
+        b = to_vec(
+            lpa_async(spark, jazz_df, n, num_blocks=4, frontier=False), n
+        )
+        assert np.array_equal(a, b)
+        n2, s, d, w = oracle.ring_of_cliques(k=6, c=8)
+        e = edges_from_numpy(spark, n2, s, d, w)
+        a2 = to_vec(lpa_async(spark, e, n2, num_blocks=8, frontier=True), n2)
+        b2 = to_vec(lpa_async(spark, e, n2, num_blocks=8, frontier=False), n2)
+        assert np.array_equal(a2, b2)
+
     def test_ring_of_cliques_single_block_cliques_uniform(self, spark):
         n, s, d, w = oracle.ring_of_cliques(k=4, c=8)
         e = edges_from_numpy(spark, n, s, d, w)
@@ -80,6 +80,24 @@ class TestLpaAsync:
 
 
 class TestLouvain:
+    def test_frontier_sweeps_output_identical(self, spark, jazz, jazz_df):
+        """Frontier-limited sweeps (skip blocks with no vertex adjacent to a
+        touched community) must be OUTPUT-IDENTICAL to full sweeps — the
+        skip rule is a proof, not a heuristic (louvain._local_move). Pinned
+        on jazz (multi-block: the mode where the frontier actually skips)
+        and on a ring of cliques (converges with long quiet tails — the
+        frontier's best case)."""
+        n = jazz[0]
+        a, la = louvain(spark, jazz_df, n, num_blocks=4, frontier=True)
+        b, lb = louvain(spark, jazz_df, n, num_blocks=4, frontier=False)
+        assert la == lb
+        assert np.array_equal(to_vec(a, n), to_vec(b, n))
+        n2, s, d, w = oracle.ring_of_cliques(k=6, c=8)
+        e = edges_from_numpy(spark, n2, s, d, w)
+        a2, _ = louvain(spark, e, n2, num_blocks=8, frontier=True)
+        b2, _ = louvain(spark, e, n2, num_blocks=8, frontier=False)
+        assert np.array_equal(to_vec(a2, n2), to_vec(b2, n2))
+
     def test_jazz_single_block_exact(self, spark, jazz, jazz_df):
         n, s, d, w = jazz
         got_df, levels = louvain(spark, jazz_df, n, num_blocks=1)
