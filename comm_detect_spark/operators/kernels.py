@@ -121,6 +121,24 @@ def lpa_async_sweep_fast(adj: Adjacency, labels: np.ndarray, m: int | None = Non
     return updated
 
 
+def movable_mask(nodes: np.ndarray, sweep: int) -> np.ndarray:
+    """Deterministic half-freeze mask for symmetry-breaking sweeps
+    (louvain._local_move's oscillation breaker): vertex v may move in
+    ``sweep`` iff bit 0 of splitmix64(v XOR golden*sweep) is 0. A swap
+    cycle survives a sweep only if every member is active; the mask
+    re-rolls per sweep, so any pair is split with prob 1/2 per sweep and
+    the cycle resolves into a merge. Pure function of (vid, sweep): block
+    layout, resume and partitioning cannot change it."""
+    salt = np.uint64((0x9E3779B97F4A7C15 * (sweep + 1)) & 0xFFFFFFFFFFFFFFFF)
+    x = (nodes.astype(np.uint64) ^ salt).copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x & np.uint64(1)) == 0
+
+
 def local_move_sweep_fast(
     adj: Adjacency,
     labels: np.ndarray,
@@ -128,13 +146,17 @@ def local_move_sweep_fast(
     comm_vol,
     weight_net: int,
     m: int | None = None,
+    movable: np.ndarray | None = None,
 ) -> int:
     """One asynchronous local-move sweep IN PLACE over nodes [0, m) —
     bit-exact vs oracle.local_move_sweep (same float64 op order, same
     strict dQ > 0 gate, same lowest-label tie), with per-node numpy
     dispatch replaced by Python dict aggregation. ``comm_vol`` is a mutable
     {label: volume} dict or int64 array, updated incrementally per move
-    (plm.cc:306-311). Returns #moved."""
+    (plm.cc:306-311). ``movable``: optional bool mask over [0, m) — frozen
+    vertices keep their label but still count as neighbors (the
+    symmetry-breaking sweeps; None == all movable, the oracle semantics).
+    Returns #moved."""
     if m is None:
         m = adj.n
     w = float(weight_net)
@@ -146,8 +168,11 @@ def local_move_sweep_fast(
     vol_l = vol.tolist()
     # dict view of comm_vol (arrays: index == label); write-through at move
     is_dict = isinstance(comm_vol, dict)
+    mov = movable.tolist() if movable is not None else None
     moved = 0
     for i in range(m):
+        if mov is not None and not mov[i]:
+            continue
         s, e = indptr[i], indptr[i + 1]
         if s == e:
             continue

@@ -38,13 +38,13 @@ from comm_detect_spark.graph.core import (
     weight_net,
 )
 from comm_detect_spark.operators.csr import build_block_csr
-from comm_detect_spark.operators.kernels import local_move_sweep_fast
+from comm_detect_spark.operators.kernels import local_move_sweep_fast, movable_mask
 from comm_detect_spark.plans.driver import IterationDriver
 
 _OUT_SCHEMA = "vid BIGINT, label BIGINT"
 
 
-def _make_kernel(w_net: int):
+def _make_kernel(w_net: int, freeze_sweep: int | None = None):
     def kernel(edges_pdf: pd.DataFrame, ext_pdf: pd.DataFrame) -> pd.DataFrame:
         if edges_pdf.empty:
             return pd.DataFrame({"vid": [], "label": []}).astype("int64")
@@ -80,7 +80,10 @@ def _make_kernel(w_net: int):
                 comm_vol[int(u)] = int(cv_arr[i])
         # bit-exact optimized sweep — same output as the oracle's
         # local_move_sweep (kernels.py; parity pinned in test_kernels)
-        local_move_sweep_fast(adj, labels, vol, comm_vol, w_net, m)
+        movable = (
+            movable_mask(nodes, freeze_sweep) if freeze_sweep is not None else None
+        )
+        local_move_sweep_fast(adj, labels, vol, comm_vol, w_net, m, movable)
         return pd.DataFrame({"vid": nodes, "label": labels[:m]})
 
     return kernel
@@ -94,6 +97,7 @@ def _local_move_step(
     w_net: int,
     num_blocks: int,
     active_blocks: list[int] | None = None,
+    freeze_sweep: int | None = None,
 ) -> DataFrame:
     """One sweep, cogrouped like lpa_async: the edge table is exchanged
     ONCE (block grouping, join on cached src partitioning exchange-free);
@@ -103,7 +107,11 @@ def _local_move_step(
     ``active_blocks`` (frontier): when given, only those blocks are
     gathered and swept — the pmod(src) predicate pushes into the cached
     edge scan, so inactive blocks cost nothing. Output-identical to the
-    full sweep (see _local_move for the proof)."""
+    full sweep (see _local_move for the proof).
+
+    ``freeze_sweep``: when set, this is a symmetry-breaking sweep — the
+    deterministic half-mask movable_mask(vid, freeze_sweep) freezes ~half
+    the vertices (oscillation breaker, see _local_move)."""
     if active_blocks is not None:
         edges = edges.where(
             F.pmod(F.col("src"), F.lit(num_blocks)).isin(active_blocks)
@@ -143,7 +151,7 @@ def _local_move_step(
     moved = (
         gathered.groupBy("block")
         .cogroup(ext.groupBy("block"))
-        .applyInPandas(_make_kernel(w_net), _OUT_SCHEMA)
+        .applyInPandas(_make_kernel(w_net, freeze_sweep), _OUT_SCHEMA)
     )
     return state.join(
         moved.withColumnRenamed("label", "new_label"), "vid", "left"
@@ -238,14 +246,29 @@ def _local_move(
     # zero incremental comm_vol updates — exactly what skipping it yields.
     # Blocks are independent within a sweep (Jacobi across blocks), so
     # skipping cannot perturb gathered blocks.
+    # Oscillation breaker (multi-block only; num_blocks=1 is sequential
+    # Gauss-Seidel, which strictly increases modularity per move and needs
+    # none of this): Jacobi-across-blocks staleness can cycle — e.g. a ring
+    # of supernodes where every vertex adopts its neighbor's label each
+    # sweep, moved == const forever (the reference's racy OpenMP sweeps
+    # break such symmetry by accident; a deterministic BSP twin must break
+    # it on purpose). Detection: the moved count repeating exactly. Cure:
+    # subsequent sweeps freeze a deterministic half of the vertices
+    # (movable_mask re-rolls per sweep), so any swap cycle is split with
+    # prob 1/2 per sweep and resolves into a merge. A hard bound
+    # (plateau >= 10) guarantees termination with the partition built so
+    # far — coarsening then still makes progress if anything moved.
     active_blocks: list[int] | None = None
-    while unstable and updated > threshold:
+    prev_updated, plateau, frozen_mode = None, 0, False
+    freeze_this, confirm_pending = False, False
+    while (unstable and updated > threshold) or confirm_pending:
         if max_sweeps is not None and iterations >= max_sweeps:
             break
         iterations += 1
         new_state = drv.prepare(
             _local_move_step(
-                edges, touch, state, vols, w_net, num_blocks, active_blocks
+                edges, touch, state, vols, w_net, num_blocks, active_blocks,
+                freeze_sweep=iterations if freeze_this else None,
             ),
             iterations,
         )
@@ -255,7 +278,44 @@ def _local_move(
             .where(F.col("l2") != F.col("label"))
         )
         updated = delta.count()  # the one action that fills the cache
-        if frontier and updated > 0 and num_blocks > 1:
+        was_frozen = freeze_this
+        if num_blocks > 1 and updated > 0 and updated == prev_updated:
+            plateau += 1
+        else:
+            plateau = 0
+        prev_updated = updated
+        # STICKY freeze: once an oscillation is detected (two consecutive
+        # identical moved counts), every further sweep of this level runs
+        # half-frozen (mask re-rolled per sweep) — each such sweep resolves
+        # ~half the surviving cycles into merges, so the tail is
+        # O(log cycle_count) sweeps instead of re-detecting the plateau
+        # between every freeze.
+        if plateau >= 2:
+            frozen_mode = True
+        freeze_this = frozen_mode
+        # a half-frozen sweep reaching the stop condition cannot prove
+        # convergence (the frozen half was never evaluated): run one FULL
+        # confirmation sweep before exiting
+        confirm_pending = was_frozen and updated <= threshold
+        if confirm_pending:
+            freeze_this = False
+        if plateau >= 10:
+            state = drv.install(new_state, iterations, moved=updated)
+            break
+        # adaptive frontier gate: the active-set computation is an extra
+        # (touch ⋈ movers) job per sweep — pure overhead while most of the
+        # graph is still churning (measured: 2x slower on a 12-sweep RMAT
+        # window with no gate). Only hunt for skippable blocks once movers
+        # have dropped below n/8 (the convergence tail, where it pays —
+        # PERFORMANCE.md), and never in/around freeze sweeps: the skip
+        # proof assumes every skipped vertex evaluated-and-stayed.
+        if (
+            frontier
+            and not freeze_this
+            and not was_frozen
+            and 0 < updated < max(n // 8, 1)
+            and num_blocks > 1
+        ):
             touched_comms = delta.select(
                 F.explode(F.array(F.col("label"), F.col("l2"))).alias("label")
             ).distinct()
@@ -272,6 +332,8 @@ def _local_move(
             )
             active = sorted(int(r["block"]) for r in blocks)
             active_blocks = None if len(active) >= num_blocks else active
+        else:
+            active_blocks = None
         state = drv.install(new_state, iterations, moved=updated)
         unstable = updated > 0
     out = drv.finish(iterations)

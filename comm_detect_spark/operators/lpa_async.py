@@ -196,7 +196,10 @@ def lpa_async(
             .where(F.col("l2") != F.col("label"))
         )
         updated = delta.count()  # the one action that fills the cache
-        if frontier and updated > 0 and num_blocks > 1:
+        # adaptive gate (see louvain._local_move): the active-set join is
+        # overhead while the graph churns; hunt for skippable blocks only
+        # in the convergence tail (movers < n/8)
+        if frontier and 0 < updated < max(n // 8, 1) and num_blocks > 1:
             changed = delta.select(F.col("vid").alias("dst"))
             blocks = (
                 changed.select(
@@ -208,6 +211,8 @@ def lpa_async(
             )
             active = sorted(int(r["block"]) for r in blocks)
             active_blocks = None if len(active) >= num_blocks else active
+        else:
+            active_blocks = None
         state = drv.install(new_state, it, updated=updated)
     out = drv.finish(it)
     e.unpersist()
