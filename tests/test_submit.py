@@ -88,3 +88,45 @@ def test_spark_submit_pages_pipeline(spark, tmp_path):
     assert ranks.count() == n_pages
     joined = ranks.join(verts, "vid")
     assert joined.count() == n_pages
+
+
+@pytest.mark.slow
+def test_spark_submit_corpus_dedup_end_to_end(spark, tmp_path):
+    """jobs/run_corpus.py --task dedup in a separate JVM: the keep-list
+    must mark exactly one representative per near-dup cluster."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "comm_detect_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, cwd=root,
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "THE  QUICK brown fox jumps over the lazy dog tonight"),
+        (2, "a completely different document about spark engines here"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    out_path = str(tmp_path / "keep")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(root, "jobs", "run_corpus.py"),
+         "--task", "dedup", "--docs", docs_path, "--out", out_path,
+         "--min-quality", "0.0"],
+        check=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    got = {r["id"]: (r["cluster"], r["keep"])
+           for r in spark.read.parquet(out_path).collect()}
+    assert got[0] == (0, True) and got[1] == (0, False)
+    assert got[3] == (0, False)
+    assert got[2][1] is True  # its own cluster's representative
