@@ -208,9 +208,24 @@ def _local_move(
         # can lack the row — fall back to "keep sweeping", conservative)
         updated = int(hist.get(iterations, {}).get("moved", n))
         unstable = updated > 0
+        # REPLAY the plateau/freeze state machine over the history so the
+        # resumed run continues with the SAME freeze schedule the killed
+        # run would have used — freeze sweeps are output-changing (unlike
+        # the frontier, which is output-neutral by proof), so without the
+        # replay a kill during frozen mode would break resume identity.
+        # The mask itself is a pure function of (vid, sweep number), so
+        # matching the schedule is sufficient.
+        resume_replay = []
+        for it2 in range(1, iterations + 1):
+            m_it = hist.get(it2)
+            if m_it is None or "moved" not in m_it:
+                resume_replay = []  # gap in history: conservative reset
+                continue
+            resume_replay.append(int(m_it["moved"]))
     else:
         state = None
         iterations, updated, unstable = 0, n, True
+        resume_replay = []
     vols = volumes_df(edges).persist()
     vols.count()
     # block -> touched-dst structure, computed once per level; the aliases
@@ -261,6 +276,43 @@ def _local_move(
     active_blocks: list[int] | None = None
     prev_updated, plateau, frozen_mode = None, 0, False
     freeze_this, confirm_pending = False, False
+
+    def _breaker_step(u: int) -> None:
+        """One transition of the plateau/freeze state machine — shared by
+        the live loop and the resume replay so a resumed run reproduces the
+        killed run's freeze schedule exactly."""
+        nonlocal prev_updated, plateau, frozen_mode, freeze_this, confirm_pending
+        was_frozen = freeze_this
+        # plateau detection = EXACT count equality, on purpose: a relative
+        # (~1.5%) tolerance was tried and measured worse (RMAT level-1:
+        # 36 -> 42 sweeps) — near-equal counts are usually residual real
+        # progress that a premature freeze halves; a true cycle repeats the
+        # count bit-exactly within a few sweeps.
+        if num_blocks > 1 and u > 0 and u == prev_updated:
+            plateau += 1
+        else:
+            plateau = 0
+        prev_updated = u
+        # STICKY freeze: once an oscillation is detected, every further
+        # sweep of this level runs half-frozen (mask re-rolled per sweep) —
+        # each resolves ~half the surviving cycles into merges, so the tail
+        # is O(log cycle_count) sweeps. De-escalation was tried and
+        # measured WORSE on both test shapes (ring 18 -> 22 sweeps, RMAT
+        # 36 -> 42): after exiting freeze the cycle regime re-emerges at a
+        # lower amplitude and detection lags it, so the level just
+        # re-enters freeze after several wasted full sweeps.
+        if plateau >= 2:
+            frozen_mode = True
+        freeze_this = frozen_mode
+        # a half-frozen sweep reaching the stop condition cannot prove
+        # convergence (the frozen half was never evaluated): run one FULL
+        # confirmation sweep before exiting
+        confirm_pending = was_frozen and u <= threshold
+        if confirm_pending:
+            freeze_this = False
+
+    for u in resume_replay:
+        _breaker_step(u)
     while (unstable and updated > threshold) or confirm_pending:
         if max_sweeps is not None and iterations >= max_sweeps:
             break
@@ -279,33 +331,7 @@ def _local_move(
         )
         updated = delta.count()  # the one action that fills the cache
         was_frozen = freeze_this
-        # plateau detection = EXACT count equality, on purpose: a relative
-        # (~1.5%) tolerance was tried and measured worse (RMAT level-1:
-        # 36 -> 42 sweeps) — near-equal counts are usually residual real
-        # progress that a premature freeze halves; a true cycle repeats the
-        # count bit-exactly within a few sweeps.
-        if num_blocks > 1 and updated > 0 and updated == prev_updated:
-            plateau += 1
-        else:
-            plateau = 0
-        prev_updated = updated
-        # STICKY freeze: once an oscillation is detected, every further
-        # sweep of this level runs half-frozen (mask re-rolled per sweep) —
-        # each resolves ~half the surviving cycles into merges, so the tail
-        # is O(log cycle_count) sweeps. De-escalation was tried and
-        # measured WORSE on both test shapes (ring 18 -> 22 sweeps, RMAT
-        # 36 -> 42): after exiting freeze the cycle regime re-emerges at a
-        # lower amplitude and detection lags it, so the level just
-        # re-enters freeze after several wasted full sweeps.
-        if plateau >= 2:
-            frozen_mode = True
-        freeze_this = frozen_mode
-        # a half-frozen sweep reaching the stop condition cannot prove
-        # convergence (the frozen half was never evaluated): run one FULL
-        # confirmation sweep before exiting
-        confirm_pending = was_frozen and updated <= threshold
-        if confirm_pending:
-            freeze_this = False
+        _breaker_step(updated)
         if plateau >= 10:
             state = drv.install(new_state, iterations, moved=updated)
             break

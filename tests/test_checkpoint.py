@@ -147,6 +147,45 @@ class TestLouvainResume:
         assert levels == full_levels
         assert np.array_equal(to_vec(got, n), fullv)
 
+    def test_kill_mid_freeze_resumes_identical(self, spark, tmp_path):
+        """A kill while the oscillation breaker is active: freeze sweeps
+        are output-changing, so resume must REPLAY the plateau/freeze state
+        machine from the metrics history to reproduce the killed run's
+        freeze schedule (louvain._breaker_step). A ring of 32 cliques
+        coarsens to a 32-supernode ring whose Jacobi rotation plateaus —
+        asserted below so the test cannot silently stop covering the
+        freeze path."""
+        from comm_detect_spark.graph import edges_from_numpy
+        from comm_detect_spark.operators.louvain import louvain
+
+        n, s, d, w = oracle.ring_of_cliques(k=32, c=4)
+        e = edges_from_numpy(spark, n, s, d, w)
+        full, full_levels = louvain(spark, e, n, num_blocks=8)
+        fullv = to_vec(full, n)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            louvain(
+                spark, e, n, num_blocks=8,
+                driver_factory=self._factory(
+                    tmp_path, kill_level=2,
+                    kill_cls=_KillAfterInstalls, kill_arg=6,
+                ),
+            )
+        # non-vacuity: the killed level was oscillating (exact plateau)
+        store = CheckpointStore(str(tmp_path), "lv-L2", algo="louvain")
+        moved = [
+            m["moved"] for m in store.metrics()
+            if not m.get("final") and "moved" in m
+        ]
+        assert any(
+            moved[i] == moved[i + 1] > 0 for i in range(len(moved) - 1)
+        ), moved
+        got, levels = louvain(
+            spark, e, n, num_blocks=8,
+            driver_factory=self._factory(tmp_path), resume=True,
+        )
+        assert levels == full_levels
+        assert np.array_equal(to_vec(got, n), fullv)
+
     def test_kill_at_level_boundary_resumes_identical(
         self, spark, jazz, jazz_df, tmp_path
     ):
