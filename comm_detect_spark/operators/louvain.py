@@ -190,6 +190,20 @@ def _local_move(
     drv = driver or IterationDriver()
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     threshold = int(n * eps)
+    # the block decomposition is OUTPUT-CHANGING (Jacobi block structure,
+    # freeze schedule): pin it in the store so a resume launched on a
+    # session whose shuffle-partition default resolves differently fails
+    # loudly instead of silently diverging from the killed run
+    if drv.store is not None:
+        saved = drv.store.load_params()
+        if resume and saved.get("num_blocks") not in (None, num_blocks):
+            raise ValueError(
+                f"resume with num_blocks={num_blocks} but the killed run "
+                f"used num_blocks={saved['num_blocks']} "
+                f"({drv.store.run_dir}/params.json) — the block "
+                "decomposition is output-changing; pass the recorded value"
+            )
+        drv.store.save_params(num_blocks=num_blocks, eps=eps)
     # resume BEFORE building the per-level structures: a level whose store
     # holds a final snapshot (finish() logged final=True) is already done —
     # return its saved pre-relabel state, re-applying the deterministic
@@ -203,25 +217,35 @@ def _local_move(
                 state.unpersist()
                 return out, iterations
             return state, iterations
-        # killed mid-level: reseed the stopping counters from the metrics
-        # history (a snapshot saved by prepare() before its install() logged
-        # can lack the row — fall back to "keep sweeping", conservative)
-        updated = int(hist.get(iterations, {}).get("moved", n))
-        unstable = updated > 0
-        # REPLAY the plateau/freeze state machine over the history so the
-        # resumed run continues with the SAME freeze schedule the killed
-        # run would have used — freeze sweeps are output-changing (unlike
-        # the frontier, which is output-neutral by proof), so without the
-        # replay a kill during frozen mode would break resume identity.
-        # The mask itself is a pure function of (vid, sweep number), so
-        # matching the schedule is sufficient.
+        # killed mid-level: REPLAY the plateau/freeze state machine over
+        # the full moved-count history so the resumed run continues with
+        # the SAME freeze schedule the killed run would have used — freeze
+        # sweeps are output-changing (unlike the frontier, which is
+        # output-neutral by proof). The mask itself is a pure function of
+        # (vid, sweep number), so matching the schedule is sufficient.
+        # A metrics row can be missing (kill between prepare()'s save_state
+        # and install()'s log_metric — the delta.count() window): rebuild
+        # it EXACTLY by diffing the adjacent state snapshots
+        # (snapshot_moved_count); only if a snapshot is also absent
+        # (checkpoint_every > 1) does the replay stop at the contiguous
+        # prefix, keeping whatever sticky freeze state it reached.
+        from comm_detect_spark.plans.checkpoint import snapshot_moved_count
+
         resume_replay = []
         for it2 in range(1, iterations + 1):
             m_it = hist.get(it2)
-            if m_it is None or "moved" not in m_it:
-                resume_replay = []  # gap in history: conservative reset
+            if m_it is not None and "moved" in m_it:
+                resume_replay.append(int(m_it["moved"]))
                 continue
-            resume_replay.append(int(m_it["moved"]))
+            recomputed = snapshot_moved_count(spark, drv.store, it2)
+            if recomputed is None:
+                break  # unknowable tail: replay the contiguous prefix only
+            resume_replay.append(recomputed)
+        if len(resume_replay) == iterations:
+            updated = resume_replay[-1] if resume_replay else n
+        else:
+            updated = n  # conservative: keep sweeping
+        unstable = updated > 0
     else:
         state = None
         iterations, updated, unstable = 0, n, True
@@ -313,6 +337,12 @@ def _local_move(
 
     for u in resume_replay:
         _breaker_step(u)
+    if plateau >= 10:
+        # the killed run tripped the hard termination bound right before
+        # dying (its install() logged, its finish() did not): entering the
+        # sweep loop would run an extra frozen sweep the uninterrupted run
+        # never executed — skip straight to finish with the state as-is
+        unstable, updated, confirm_pending = False, 0, False
     while (unstable and updated > threshold) or confirm_pending:
         if max_sweeps is not None and iterations >= max_sweeps:
             break

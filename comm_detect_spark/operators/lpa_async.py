@@ -169,12 +169,34 @@ def lpa_async(
     )
     touch.count()
     threshold = int(n * eps)
+    # pin num_blocks (output-changing: Jacobi block structure) — resume on
+    # a session resolving a different default must fail, not diverge
+    if drv.store is not None:
+        saved = drv.store.load_params()
+        if resume and saved.get("num_blocks") not in (None, num_blocks):
+            raise ValueError(
+                f"resume with num_blocks={num_blocks} but the killed run "
+                f"used num_blocks={saved['num_blocks']} "
+                f"({drv.store.run_dir}/params.json)"
+            )
+        drv.store.save_params(num_blocks=num_blocks, eps=eps)
     resumed = drv.try_resume(spark) if resume else None
     if resumed is not None:
         state, it, hist = resumed
-        updated = int(hist.get(it, {}).get("updated", n))
-        updated_prev = int(hist.get(it - 1, {}).get("updated", n))
-    else:
+
+        def _counter(it2: int, default: int) -> int:
+            # a kill between save_state and log_metric loses the row; the
+            # count is recomputable EXACTLY from the adjacent snapshots
+            row = hist.get(it2)
+            if row is not None and "updated" in row:
+                return int(row["updated"])
+            from comm_detect_spark.plans.checkpoint import snapshot_moved_count
+
+            rec = snapshot_moved_count(spark, drv.store, it2)
+            return default if rec is None else rec
+
+        updated = _counter(it, n)
+        updated_prev = _counter(it - 1, n) if it > 1 else n
         state = drv.start(
             vertex_range(spark, n)
             .withColumn("label", F.col("vid"))

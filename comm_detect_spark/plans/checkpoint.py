@@ -59,6 +59,9 @@ class CheckpointStore:
         )
         return df.sparkSession.read.parquet(path)
 
+    def has_state(self, iteration: int) -> bool:
+        return os.path.isdir(self._iter_dir(iteration))
+
     def latest_iteration(self) -> int | None:
         marker = os.path.join(self.run_dir, "_LATEST")
         if not os.path.exists(marker):
@@ -72,6 +75,27 @@ class CheckpointStore:
         if iteration is None:
             raise FileNotFoundError(f"no checkpoint under {self.run_dir}")
         return spark.read.parquet(self._iter_dir(iteration))
+
+    # -- run parameters ------------------------------------------------
+    def save_params(self, **params) -> None:
+        """Record output-changing run parameters (e.g. num_blocks — the
+        block decomposition changes the Jacobi structure, so a resume under
+        a different value silently diverges from the killed run). Write-once
+        per run; atomic like the state writes."""
+        path = os.path.join(self.run_dir, "params.json")
+        if os.path.exists(path):
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(params, fh)
+        os.replace(tmp, path)
+
+    def load_params(self) -> dict:
+        path = os.path.join(self.run_dir, "params.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
 
     # -- metrics -------------------------------------------------------
     def log_metric(self, iteration: int, **metrics) -> None:
@@ -91,3 +115,37 @@ class CheckpointStore:
             return []
         with open(path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
+
+
+def snapshot_moved_count(
+    spark: SparkSession, store: CheckpointStore, iteration: int
+) -> int | None:
+    """EXACT reconstruction of a lost `moved`/`updated` metrics row for a
+    (vid, label) state: the count of vertices whose label differs between
+    snapshot ``iteration`` and ``iteration - 1`` (iteration 1 diffs against
+    the singleton init label == vid).
+
+    Why it exists: a kill can land between prepare()'s save_state (which
+    advances _LATEST) and install()'s log_metric — the snapshot survives,
+    its metrics row does not. With checkpoint_every=1 both adjacent
+    snapshots are on disk, so the missing counter is recomputable exactly
+    and resume replays the killed run's stopping/freeze state machine
+    bit-identically instead of guessing. Returns None when a needed
+    snapshot is absent (checkpoint_every > 1) — callers must then fall
+    back conservatively."""
+    from pyspark.sql import functions as F
+
+    if not store.has_state(iteration):
+        return None
+    cur = store.load_state(spark, iteration)
+    if iteration == 1:
+        return cur.where(F.col("label") != F.col("vid")).count()
+    if not store.has_state(iteration - 1):
+        return None
+    prev = store.load_state(spark, iteration - 1)
+    return (
+        cur.withColumnRenamed("label", "l2")
+        .join(prev, "vid")
+        .where(F.col("l2") != F.col("label"))
+        .count()
+    )

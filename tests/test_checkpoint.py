@@ -101,6 +101,25 @@ class _KillAfterInstalls(IterationDriver):
         return out
 
 
+class _KillAfterSave(IterationDriver):
+    """Raises in prepare() AFTER the store's save_state ran — the crash
+    window between a snapshot commit (which advances _LATEST) and
+    install()'s log_metric: the snapshot survives, its metrics row never
+    lands. Resume must reconstruct the missing counter exactly
+    (snapshot_moved_count) instead of resetting the freeze replay."""
+
+    def __init__(self, store, kill_at_iteration):
+        super().__init__(store=store, checkpoint_every=1)
+        self.kill_at = kill_at_iteration
+
+    def prepare(self, new_state, iteration):
+        out = super().prepare(new_state, iteration)
+        if iteration >= self.kill_at:
+            # save_state already wrote the parquet (df.write is an action)
+            raise RuntimeError("simulated crash before log_metric")
+        return out
+
+
 class _KillOnStart(IterationDriver):
     """Raises on start() — a crash exactly at a level boundary (previous
     level finalized, this one never began)."""
@@ -121,6 +140,8 @@ class TestLouvainResume:
             if kill_level is not None and levels[0] == kill_level:
                 if kill_cls is _KillAfterInstalls:
                     return _KillAfterInstalls(store, kill_arg)
+                if kill_cls is _KillAfterSave:
+                    return _KillAfterSave(store, kill_arg)
                 return _KillOnStart(store=store, checkpoint_every=1)
             return IterationDriver(store=store, checkpoint_every=1)
 
@@ -185,6 +206,118 @@ class TestLouvainResume:
         )
         assert levels == full_levels
         assert np.array_equal(to_vec(got, n), fullv)
+
+    def test_kill_before_log_metric_mid_freeze_resumes_identical(
+        self, spark, tmp_path
+    ):
+        """The ADVICE window: kill AFTER prepare()'s save_state but BEFORE
+        install()'s log_metric, during a frozen level. Snapshot k exists
+        with no metrics row k; resume must reconstruct moved_k exactly from
+        the adjacent snapshots so the freeze-schedule replay (and therefore
+        the output) matches the uninterrupted run."""
+        from comm_detect_spark.graph import edges_from_numpy
+        from comm_detect_spark.operators.louvain import louvain
+
+        n, s, d, w = oracle.ring_of_cliques(k=32, c=4)
+        e = edges_from_numpy(spark, n, s, d, w)
+        full, full_levels = louvain(spark, e, n, num_blocks=8)
+        fullv = to_vec(full, n)
+        with pytest.raises(RuntimeError, match="before log_metric"):
+            louvain(
+                spark, e, n, num_blocks=8,
+                driver_factory=self._factory(
+                    tmp_path, kill_level=2,
+                    kill_cls=_KillAfterSave, kill_arg=7,
+                ),
+            )
+        # non-vacuity: the killed level's logged history ends one row short
+        # of its latest snapshot AND shows an exact plateau (frozen regime)
+        store = CheckpointStore(str(tmp_path), "lv-L2", algo="louvain")
+        logged = {
+            m["iteration"] for m in store.metrics()
+            if not m.get("final") and "moved" in m
+        }
+        assert store.latest_iteration() == 7 and 7 not in logged
+        moved = [
+            m["moved"] for m in sorted(
+                (m for m in store.metrics() if not m.get("final") and "moved" in m),
+                key=lambda m: m["iteration"],
+            )
+        ]
+        assert any(
+            moved[i] == moved[i + 1] > 0 for i in range(len(moved) - 1)
+        ), moved
+        got, levels = louvain(
+            spark, e, n, num_blocks=8,
+            driver_factory=self._factory(tmp_path), resume=True,
+        )
+        assert levels == full_levels
+        assert np.array_equal(to_vec(got, n), fullv)
+
+    def test_plateau_hard_stop_not_reentered_after_resume(self, spark, tmp_path):
+        """A kill between the plateau>=10 hard stop's install() and
+        finish(): the replay reproduces plateau>=10 and resume must jump
+        straight to finish — never an extra frozen sweep the uninterrupted
+        run did not execute."""
+        import json as _json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from comm_detect_spark.graph import edges_from_numpy
+        from comm_detect_spark.operators.louvain import _local_move
+
+        n = 8
+        s = np.array([0, 1, 1, 2, 2, 3, 4, 5, 5, 6, 6, 7], dtype=np.int64)
+        d = np.array([1, 0, 2, 1, 3, 2, 5, 4, 6, 5, 7, 6], dtype=np.int64)
+        w = np.ones(s.size, dtype=np.int64)
+        e = edges_from_numpy(spark, n, s, d, w).persist()
+        store = CheckpointStore(str(tmp_path), "hardstop", algo="louvain")
+        store.save_params(num_blocks=4, eps=1e-5)
+        snap = spark.createDataFrame(
+            [(v, v % 2) for v in range(n)], "vid BIGINT, label BIGINT"
+        )
+        k = 12
+        store.save_state(snap, k)
+        # fabricated history: 12 identical positive moved counts -> the
+        # replayed state machine lands at plateau >= 10 (the hard stop)
+        for it in range(1, k + 1):
+            store.log_metric(it, moved=5)
+        drv = IterationDriver(store=store, checkpoint_every=1)
+        out, iters = _local_move(
+            spark, e, n, w_net=int(w.sum() // 2), eps=1e-5, num_blocks=4,
+            driver=drv, resume=True,
+        )
+        assert iters == k
+        # no sweep beyond k ran: the only new metrics row is finish()'s
+        rows_after = [
+            m["iteration"] for m in store.metrics() if not m.get("final")
+        ]
+        assert max(rows_after) == k
+        # output = dense relabel of the snapshot, untouched by any sweep
+        got = {
+            r["vid"]: r["label"] for r in out.collect()
+        }
+        assert got == {v: v % 2 for v in range(n)}
+        e.unpersist()
+
+    def test_resume_num_blocks_mismatch_fails(self, spark, jazz, jazz_df, tmp_path):
+        from comm_detect_spark.operators.louvain import louvain
+
+        n = jazz[0]
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            louvain(
+                spark, jazz_df, n, num_blocks=4,
+                driver_factory=self._factory(
+                    tmp_path, kill_level=1,
+                    kill_cls=_KillAfterInstalls, kill_arg=2,
+                ),
+            )
+        with pytest.raises(ValueError, match="num_blocks"):
+            louvain(
+                spark, jazz_df, n, num_blocks=8,
+                driver_factory=self._factory(tmp_path), resume=True,
+            )
 
     def test_kill_at_level_boundary_resumes_identical(
         self, spark, jazz, jazz_df, tmp_path
