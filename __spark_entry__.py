@@ -327,10 +327,11 @@ def _q_embedding_top5(spark, sf_dir):
 
 
 def _q_embedding_ivf_top5(spark, sf_dir):
-    # IVF approximate top-k: deterministic k-means centroids (id-ordered
-    # sample, PCG64 seed 42) -> nearest-list assignment -> exact cosine
-    # over the 2 probed lists. The oracle regenerates the SAME centroids
-    # with the shared kmeans_centroids() and replays assignment in SQL.
+    # IVF approximate top-k: deterministic k-means centroids (hash-ordered
+    # sample — smallest 60-bit md5(id) first, unbiased w.r.t. id order —
+    # PCG64 seed 42) -> nearest-list assignment -> exact cosine over the 2
+    # probed lists. The oracle regenerates the SAME centroids with the
+    # shared kmeans_centroids() on the SAME hash sample and replays in SQL.
     from comm_detect_spark.operators.similarity import (
         ivf_fit_centroids,
         ivf_topk,
@@ -619,8 +620,11 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 
 def _ivf_top5_oracle_sql(sf_dir: str) -> str:
     """Generate the embedding_ivf_top5 oracle: regenerate the centroids
-    with the SAME shared kmeans (id-ordered sample, seed 42), inline them,
-    replay list assignment (GREATEST + first-match CASE == the Spark fold's
+    with the SAME shared kmeans on the SAME deterministic hash-ordered
+    sample (smallest 60-bit md5(id) first, id tie key — DuckDB's md5
+    arithmetic matches Spark's exactly, and row ORDER matters to the fit's
+    init/means, so the ORDER BY must match too), inline them, replay list
+    assignment (GREATEST + first-match CASE == the Spark argmax's
     strict-greater/lowest-id tie) and the nprobe search in SQL."""
     import duckdb
     import numpy as np
@@ -630,7 +634,8 @@ def _ivf_top5_oracle_sql(sf_dir: str) -> str:
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        "ORDER BY vec_id LIMIT 2048"
+        "ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(CAST(vec_id AS VARCHAR)), "
+        "1, 15)) AS BIGINT), vec_id LIMIT 2048"
     ).fetchall()
     x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     cent = kmeans_centroids(x, 8, seed=42, iters=10)

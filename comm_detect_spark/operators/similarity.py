@@ -108,21 +108,36 @@ def lsh_topk(
 def kmeans_centroids(
     x: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 10
 ) -> np.ndarray:
-    """Deterministic Lloyd k-means (PCG64 init, lowest-index argmin ties).
+    """Deterministic Lloyd k-means (PCG64 init, lowest-index ties).
     Shared by the Spark fit and the DuckDB-oracle generator so centroid
-    literals are identical in both engines."""
+    literals are identical in both engines.
+
+    Assignment is the matmul form: argmin ||x-c||^2 == argmax
+    (x.c - ||c||^2/2) — the SAME scoring ivf_assign_udf runs per batch.
+    Memory is O(n*k), never the (n, k, dim) broadcast tensor an explicit
+    pairwise-difference computes (~13 GB at k=1024, dim=768, n=8192).
+    np.argmax takes the first maximum -> ties to the lowest centroid id."""
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = x[
         rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)
     ].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # ties -> lowest index (numpy argmin)
+        scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assign = scores.argmax(axis=1)
         for c in range(cent.shape[0]):
             members = x[assign == c]
             if members.size:
                 cent[c] = members.mean(axis=0)
     return cent
+
+
+def _h60(col):
+    """60-bit md5 prefix as BIGINT — Spark `conv(substring(md5(x),1,15),
+    16,10)` equals DuckDB `CAST(CONCAT('0x', SUBSTRING(md5(x),1,15)) AS
+    BIGINT)` exactly (the repo-wide cross-engine hash)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
 
 
 def ivf_fit_centroids(
@@ -134,17 +149,38 @@ def ivf_fit_centroids(
     sample: int = 2048,
     iters: int = 10,
 ) -> np.ndarray:
-    """Deterministic IVF coarse quantizer: k-means on the ``sample``
-    lowest-id rows. The sample is driver-side (a few thousand vectors even
-    at 100 TB); assignment/search stay distributed. The id-ordered sample +
-    pinned k-means make the centroids reproducible LITERALS — the same
-    shipped-constant scheme as the LSH hyperplanes, and replayable by the
-    DuckDB oracle."""
+    """Deterministic IVF coarse quantizer: k-means on a HASH-ordered
+    sample — the ``sample`` rows with the smallest 60-bit md5(id) (id as
+    the tie key). Ordering by a cryptographic hash of the id is a uniform
+    random sample that is still fully deterministic and replayable in
+    DuckDB via the same md5 arithmetic; an id-ORDERED sample is not (in
+    real corpora id order tracks content order — crawl batch, source,
+    time — so the lowest-id rows train a biased quantizer). The plan is a
+    TakeOrderedAndProject (per-partition top-k heap + single merge — no
+    global sort, no extra count job). The sample is driver-side (a few
+    thousand vectors even at 100 TB); assignment/search stay distributed."""
     rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+        df.select(id_col, vec_col)
+        .orderBy(_h60(F.col(id_col)), F.col(id_col))
+        .limit(sample)
+        .collect()
     )
     x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     return kmeans_centroids(x, n_centroids, seed, iters)
+
+
+def write_centroids(spark, path: str, centroids: np.ndarray) -> None:
+    """Persist the quantizer through Spark (works for hdfs:///s3:// paths,
+    unlike a driver-local np.save): one row per centroid."""
+    rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "centroid_id INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    return np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
 
 
 def ivf_list_expr(vec_col, centroids: np.ndarray):
@@ -217,12 +253,19 @@ def ivf_topk(
     lists nearest to the query — the expected scan is n * nprobe /
     n_centroids.
 
-    ``assign``: "expr" (pure-column literal CASE — oracle-replayable, fine
+    ``assign``: "expr" (pure-column literal chain — oracle-replayable, fine
     to a few dozen centroids), "udf" (Arrow batch matmul — the scale mode),
-    or "auto" (expr up to 32 centroids, udf beyond; the two agree
-    element-exactly — pinned in tests). For repeated queries write the
-    assignment once with write_ivf_table and use ivf_topk_pruned: the probe
-    filter then prunes parquet partitions instead of recomputing."""
+    or "auto" (expr up to 32 centroids, udf beyond). Both paths score
+    v.c - ||c||^2/2 with the same strict-argmax/lowest-id tie rule, but the
+    expr sums the dot product as a sequential left-to-right fold while the
+    udf uses BLAS matmul (different float summation order): on a NEAR-TIE
+    between centroid scores the two can argmax to different lists. They
+    agree on the test fixtures (pinned at k=64) and on any input whose
+    centroid margins exceed ~1 ulp of the dot product — for exact
+    build/probe consistency use the same mode for both, which
+    write_ivf_table + ivf_topk_pruned do (always udf). For repeated queries
+    prefer that pair anyway: the probe filter prunes parquet partitions
+    instead of recomputing assignments."""
     probe = _probe_lists(centroids, query, nprobe)
     if assign == "auto":
         assign = "expr" if len(centroids) <= 32 else "udf"

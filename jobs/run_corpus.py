@@ -78,9 +78,9 @@ def main():
     else:  # ivf-index
         from comm_detect_spark.operators.similarity import (
             ivf_fit_centroids,
+            write_centroids,
             write_ivf_table,
         )
-        import numpy as np
 
         cent = ivf_fit_centroids(
             docs, n_centroids=args.n_centroids,
@@ -89,9 +89,11 @@ def main():
         write_ivf_table(
             docs, args.out, cent, id_col=args.vec_id_col, vec_col=args.vec_col
         )
-        # persist the quantizer next to the index: a probe needs the SAME
-        # centroids that built the lists
-        np.save(args.out.rstrip("/") + "_centroids.npy", cent)
+        # persist the quantizer next to the index (a probe needs the SAME
+        # centroids that built the lists) — through Spark, so hdfs:///s3://
+        # --out locations work; a driver-local np.save would crash here
+        # after the expensive index write already completed
+        write_centroids(spark, args.out.rstrip("/") + "_centroids", cent)
     spark.stop()
 
 

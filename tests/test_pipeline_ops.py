@@ -355,10 +355,149 @@ class TestIvf:
         c1 = ivf_fit_centroids(embeddings, n_centroids=8)
         c2 = ivf_fit_centroids(embeddings, n_centroids=8)
         assert np.array_equal(c1, c2)
-        # the Spark fit == the plain-numpy fit on the same id-ordered sample
-        rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").limit(2048).collect()
-        x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+        # the Spark fit == the plain-numpy fit on the same hash-ORDERED
+        # sample (row order feeds the k-means init, so the Python replica
+        # must sort by the same 60-bit md5(id) the Spark plan uses)
+        import hashlib
+
+        rows = embeddings.select("vec_id", "embedding").collect()
+        rows.sort(
+            key=lambda r: (
+                int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:15], 16),
+                r["vec_id"],
+            )
+        )
+        x = np.asarray(
+            [list(r["embedding"]) for r in rows[:2048]], dtype=np.float64
+        )
         assert np.array_equal(c1, kmeans_centroids(x, 8))
+
+    def test_kmeans_matmul_equals_naive_tensor_form(self):
+        """The trainer's matmul scoring (||x||^2 dropped: argmax of
+        x.c - ||c||^2/2) must assign identically to the explicit
+        (n, k, dim) pairwise-difference argmin it replaced — the tensor
+        form is the memory blowup (13 GB at k=1024/dim=768/n=8192), not a
+        different answer. Random floats have no exact score ties, so
+        assignment equality is deterministic here; the caveat for adversarial
+        near-ties is documented on kmeans_centroids."""
+        import numpy as np
+        from comm_detect_spark.operators.similarity import kmeans_centroids
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        x = rng.standard_normal((512, 24))
+        cent = kmeans_centroids(x, 16, seed=42, iters=5)
+        # naive reference update loop with the tensor-form assignment
+        ref = x[
+            np.random.Generator(np.random.PCG64(42)).choice(
+                512, size=16, replace=False
+            )
+        ].copy()
+        for _ in range(5):
+            d2 = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(16):
+                members = x[assign == c]
+                if members.size:
+                    ref[c] = members.mean(axis=0)
+        assert np.allclose(cent, ref, atol=1e-9)
+
+    def test_kmeans_scale_fit_no_tensor_blowup(self):
+        """The r3 regression: k=1024, dim=768, sample=8192 must fit the
+        trainer in well under 2 GB — the old tensor form allocated
+        n*k*dim*8 ≈ 50 GB here. tracemalloc bounds the trainer's own
+        allocations (the matmul peak is n*k*8 ≈ 67 MB)."""
+        import tracemalloc
+
+        import numpy as np
+        from comm_detect_spark.operators.similarity import kmeans_centroids
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        x = rng.standard_normal((8192, 768))
+        tracemalloc.start()
+        cent = kmeans_centroids(x, 1024, seed=42, iters=2)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert cent.shape == (1024, 768)
+        assert peak < 2 * 1024**3, f"peak {peak/1e9:.1f} GB"
+
+    def test_centroid_parquet_roundtrip(self, spark, tmp_path):
+        """The quantizer sidecar rides Spark parquet (works on hdfs/s3
+        paths, unlike the np.save it replaced) and must roundtrip exactly."""
+        import numpy as np
+        from comm_detect_spark.operators.similarity import (
+            read_centroids,
+            write_centroids,
+        )
+
+        cent = np.random.Generator(np.random.PCG64(5)).standard_normal((6, 9))
+        path = str(tmp_path / "cent")
+        write_centroids(spark, path, cent)
+        assert np.array_equal(read_centroids(spark, path), cent)
+
+    def test_hash_sample_recall_beats_id_ordered_on_clustered_ids(self, spark):
+        """The r3 bias: an id-ORDERED sample sees only the low-id slice of
+        the corpus; when content correlates with id (crawl batches), the
+        quantizer never trains on later clusters. Fixture: 4 Gaussian
+        clusters laid out contiguously by id, so the lowest-id sample is
+        cluster 0 only while the hash sample spans all four. The
+        hash-sample quantizer must (a) actually decorrelate (sample covers
+        every cluster) and (b) give nprobe=1 recall at least as good as the
+        id-ordered quantizer's."""
+        import hashlib
+
+        import numpy as np
+
+        from comm_detect_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_fit_centroids,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        n, per, dim, k = 640, 160, 12, 10
+        centers = rng.standard_normal((4, dim)) * 6.0
+        vecs = np.concatenate(
+            [centers[c] + rng.standard_normal((per, dim)) for c in range(4)]
+        )
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in vecs[i]]) for i in range(n)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).persist()
+        sample = 128
+        cent_hash = ivf_fit_centroids(
+            df, n_centroids=4, sample=sample, iters=10
+        )
+        cent_id = kmeans_centroids(vecs[:sample], 4, seed=42, iters=10)
+
+        # (a) decorrelation: the hash-ordered sample spans every true
+        # cluster; the id-ordered one by construction sees only cluster 0
+        sampled = sorted(
+            range(n),
+            key=lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16),
+        )[:sample]
+        assert {i // per for i in sampled} == {0, 1, 2, 3}
+
+        # (b) recall@k, nprobe=1, queries from every cluster
+        def recall(cent):
+            hits = 0
+            for qi in (10, 170, 330, 490):
+                q = [float(v) for v in vecs[qi]]
+                exact = {
+                    r["id"] for r in brute_force_topk(df, q, k=k).collect()
+                }
+                approx = {
+                    r["id"]
+                    for r in ivf_topk(
+                        df, q, cent, k=k, nprobe=1, assign="udf"
+                    ).collect()
+                }
+                hits += len(exact & approx)
+            return hits / (4 * k)
+
+        r_hash, r_id = recall(cent_hash), recall(cent_id)
+        assert r_hash >= r_id, (r_hash, r_id)
+        assert r_hash >= 0.9, r_hash
 
     def test_topk_contains_self_and_overlaps_bruteforce(self, embeddings):
         from comm_detect_spark.operators.similarity import (
