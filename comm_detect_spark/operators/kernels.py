@@ -19,17 +19,29 @@ with identical output (pinned by tests/test_kernels.py, element-exact):
   environment, and the run decomposition is pure numpy + exact.)
 
 * ``local_move_sweep_fast`` — Louvain's local move mutates GLOBAL community
-  volumes on every move, so a run decomposition would need candidate-
-  community disjointness, which almost never holds. Instead: the same
-  per-node loop with the numpy small-array dispatch (argsort/reduceat/
-  searchsorted per node) replaced by plain-Python dict aggregation over
-  pre-converted lists — bit-exact float64 op order preserved.
+  volumes on every move, so the plain run decomposition is not enough; the
+  sweep is layered (every layer exact, pinned in test_kernels):
+  (1) per RUN, every per-(node, community) weight sum is computed in one
+  numpy grouped reduction — valid because a run member's neighbors all lie
+  outside the run, so their labels are frozen while it processes;
+  (2) OPTIMISTIC JACOBI: all of a run's dq argmaxes are evaluated
+  vectorized against the run-start cv snapshot (_jacobi_eval), then a
+  sequential dirty-walk applies the precomputed decision for every node
+  whose read communities ({own} ∪ candidates) no earlier in-run mover
+  wrote — for such a node the snapshot IS the live state, so the decision
+  is exactly the sequential one; (3) dirtied nodes recompute per-group
+  against the live cv (a lean list-indexed loop — the dict hashing of the
+  previous kernel is gone everywhere). An adaptive windowed gate skips the
+  Jacobi evaluation in regimes where churn dirties everything (hub-dense
+  sweep-1 regions) and re-probes as the sweep converges.
 
 Reference for semantics: plp.cc:22-69 (dominant label), plm.cc:192-242
 (ReturnCommunity dQ), with the repo-wide lowest-label tie pin (SURVEY §5.2).
 """
 
 from __future__ import annotations
+
+from bisect import bisect_left
 
 import numpy as np
 
@@ -139,6 +151,46 @@ def movable_mask(nodes: np.ndarray, sweep: int) -> np.ndarray:
     return (x & np.uint64(1)) == 0
 
 
+def _jacobi_eval(
+    nodes_p, nstarts, nends, g_node, g_label, gsumf, labc, cv_np, vol,
+    w, inv_2w2, a, big_k,
+):
+    """Vectorized dq argmax for EVERY present node of a run against the
+    run-start community volumes (Jacobi evaluation): elementwise float64
+    ops in the same order as the scalar path, winner = first group reaching
+    the node max over label-ascending groups (the oracle's
+    max-dq/lowest-label tie pin), strict dq > 0 gate. Returns
+    (win_label, mov) arrays aligned with nodes_p; the caller's sequential
+    dirty-walk decides for which nodes the run-start snapshot is still the
+    live truth."""
+    own = labc[nodes_p]
+    counts = nends - nstarts
+    # w_c: the (node, own-community) group if present (groups are sorted by
+    # the packed (node, label) key, so one searchsorted finds it)
+    gkey = (g_node - a) * big_k + g_label
+    okey = (nodes_p - a) * big_k + own
+    pos = np.minimum(np.searchsorted(gkey, okey), gkey.size - 1)
+    w_c = np.where(gkey[pos] == okey, gsumf[pos], 0.0)
+    ivol = vol[nodes_p].astype(np.float64)
+    vcmi = cv_np[own].astype(np.float64) - ivol
+    w_c_rep = np.repeat(w_c, counts)
+    vcmi_rep = np.repeat(vcmi, counts)
+    ivol_rep = np.repeat(ivol, counts)
+    cvd = cv_np[g_label].astype(np.float64)
+    dq = (gsumf - w_c_rep) / w + (vcmi_rep - cvd) * ivol_rep * inv_2w2
+    nmax = np.maximum.reduceat(dq, nstarts)
+    is_max = dq == np.repeat(nmax, counts)
+    hits = np.flatnonzero(is_max)
+    hn = np.repeat(np.arange(nodes_p.size, dtype=np.int64), counts)[hits]
+    hfirst = np.empty(hn.size, dtype=bool)
+    hfirst[0] = True
+    hfirst[1:] = hn[1:] != hn[:-1]
+    win = hits[hfirst]
+    win_label = g_label[win]
+    mov = (nmax > 0.0) & (win_label != own)
+    return win_label, mov
+
+
 def local_move_sweep_fast(
     adj: Adjacency,
     labels: np.ndarray,
@@ -150,61 +202,255 @@ def local_move_sweep_fast(
 ) -> int:
     """One asynchronous local-move sweep IN PLACE over nodes [0, m) —
     bit-exact vs oracle.local_move_sweep (same float64 op order, same
-    strict dQ > 0 gate, same lowest-label tie), with per-node numpy
-    dispatch replaced by Python dict aggregation. ``comm_vol`` is a mutable
-    {label: volume} dict or int64 array, updated incrementally per move
-    (plm.cc:306-311). ``movable``: optional bool mask over [0, m) — frozen
-    vertices keep their label but still count as neighbors (the
-    symmetry-breaking sweeps; None == all movable, the oracle semantics).
-    Returns #moved."""
+    strict dQ > 0 gate, same lowest-label tie — see the dq expression
+    below, kept operation-for-operation identical).
+
+    Structure: the sweep order splits into maximal RUNS [a, b) of
+    consecutive nodes with no intra-run edge (the LPA decomposition).
+    Louvain cannot Jacobi a whole run (moves interact through the GLOBAL
+    community volumes), but a run still freezes every input except cv:
+    a run member's neighbors all lie outside the run, so their labels —
+    and therefore each member's per-community weight sums w(i->D) and own
+    weight w(i->C) — are constant while the run processes. Those sums are
+    computed for the whole run in ONE numpy grouped reduction (the per-edge
+    cost leaves Python entirely); the remaining sequential part is a lean
+    per-GROUP loop over precomputed lists that only reads the evolving
+    cv[] and performs the exact dq argmax. ``comm_vol`` is a mutable
+    {label: volume} dict or int64 label-indexed array, updated
+    incrementally per move (plm.cc:306-311) and written back on exit.
+    ``movable``: optional bool mask over [0, m) — frozen vertices keep
+    their label but still count as neighbors (the symmetry-breaking
+    sweeps; None == all movable, the oracle semantics). Returns #moved."""
     if m is None:
         m = adj.n
+    if m == 0:
+        return 0
     w = float(weight_net)
     inv_2w2 = 1.0 / (2.0 * w * w)
-    indptr = adj.indptr.tolist()
-    idx = adj.indices.tolist()
-    wts = adj.weights.tolist()
-    lab = labels.tolist()
+    indptr, indices, weights = adj.indptr, adj.indices, adj.weights
+    # local dense community codes over every label this sweep can read or
+    # write (moves only adopt labels of existing neighbors): cv becomes a
+    # flat list the hot loop indexes directly instead of hashing
+    uniq = np.unique(labels[: adj.n])
+    big_k = uniq.size
+    labc = np.searchsorted(uniq, labels[: adj.n])
+    if isinstance(comm_vol, dict):
+        cv = [comm_vol[int(l)] for l in uniq.tolist()]
+    else:
+        cv = np.asarray(comm_vol)[uniq].tolist()
+    labc_l = labc.tolist()
+    cv_np = np.asarray(cv, dtype=np.int64)  # vector-path twin of cv
     vol_l = vol.tolist()
-    # dict view of comm_vol (arrays: index == label); write-through at move
-    is_dict = isinstance(comm_vol, dict)
-    mov = movable.tolist() if movable is not None else None
+    prev = _prev_member_neighbor(adj, m)
+    prev_l = prev.tolist()
+    pack_ok = big_k.bit_length() + m.bit_length() <= 62
+    # The optimistic-Jacobi evaluation (see the walk below) pays off in
+    # proportion to the CLEAN fraction — nodes whose read communities no
+    # earlier in-run mover touched. That fraction is region- and
+    # regime-dependent (hub-dense id ranges churn shared communities;
+    # convergence-tail sweeps are almost all clean), so a windowed
+    # adaptive gate with periodic re-probing decides per run whether to
+    # evaluate — a sticky kill switch would sample only the prefix.
+    # Data-deterministic: both paths are exact, the gate only affects
+    # speed, never output.
+    analyze = pack_ok
+    win_seen = win_vec = 0
+    run_i = 0
     moved = 0
-    for i in range(m):
-        if mov is not None and not mov[i]:
-            continue
-        s, e = indptr[i], indptr[i + 1]
-        if s == e:
-            continue
-        agg: dict[int, int] = {}
-        for k in range(s, e):
-            j = idx[k]
-            if j == i:  # self-loops excluded from w_c/w_d (plm.cc:212)
-                continue
-            lj = lab[j]
-            agg[lj] = agg.get(lj, 0) + wts[k]
-        if not agg:
-            continue
-        c = lab[i]
-        w_c = float(agg.get(c, 0))
-        i_vol = float(vol_l[i])
-        vol_c_minus_i = float(comm_vol[c]) - i_vol
-        best_dq = 0.0
-        best_d = -1
-        # argmax with tie -> lowest label, no sort: (>) takes a strictly
-        # better dq, (==, <) takes an equal dq with a lower label — same
-        # winner as first-max over ascending labels (oracle pin)
-        for d, wd in agg.items():
-            dq = (float(wd) - w_c) / w + (
-                vol_c_minus_i - float(comm_vol[d])
-            ) * i_vol * inv_2w2
-            if dq > best_dq or (dq == best_dq and best_d >= 0 and d < best_d):
-                best_dq = dq
-                best_d = d
-        if best_d >= 0 and best_d != c:
-            lab[i] = best_d
-            comm_vol[best_d] += vol_l[i]
-            comm_vol[c] -= vol_l[i]
-            moved += 1
-    labels[:m] = lab[:m]
+    a = 0
+    while a < m:
+        b = a + 1
+        while b < m and prev_l[b] < a:
+            b += 1
+        lo, hi = int(indptr[a]), int(indptr[b])
+        if hi > lo:
+            deg = np.diff(indptr[a : b + 1])
+            src = np.repeat(np.arange(a, b, dtype=np.int64), deg)
+            nbr = indices[lo:hi]
+            wt = weights[lo:hi]
+            keep = nbr != src  # self-loops excluded from w_c/w_d (plm.cc:212)
+            if movable is not None:
+                keep &= np.repeat(movable[a:b], deg)
+            src, nbr, wt = src[keep], nbr[keep], wt[keep]
+            if src.size:
+                cand = labc[nbr]
+                # group by (node, community). Fast path: CSR rows are
+                # dst-sorted, so while labels are still id-ordered (the
+                # singleton start of every level — the most expensive
+                # sweep) the rows ARE the groups: one vectorized check
+                # skips the sort+reduce entirely
+                if src.size == 1 or bool(
+                    np.all((src[1:] != src[:-1]) | (cand[1:] > cand[:-1]))
+                ):
+                    g_node, g_label, gsum = src, cand, wt
+                else:
+                    # packed-key quicksort when the key fits (stability
+                    # irrelevant: ties are exact-duplicate groups and the
+                    # integer group sum is order-independent)
+                    if pack_ok:
+                        order = np.argsort((src - a) * big_k + cand)
+                    else:
+                        order = np.lexsort((cand, src))
+                    s, l, wv = src[order], cand[order], wt[order]
+                    boundary = np.empty(s.size, dtype=bool)
+                    boundary[0] = True
+                    boundary[1:] = (s[1:] != s[:-1]) | (l[1:] != l[:-1])
+                    starts = np.flatnonzero(boundary)
+                    gsum = np.add.reduceat(wv, starts)
+                    g_node, g_label = s[starts], l[starts]
+                nfirst = np.empty(g_node.size, dtype=bool)
+                nfirst[0] = True
+                nfirst[1:] = g_node[1:] != g_node[:-1]
+                nstarts = np.flatnonzero(nfirst)
+                nodes_p = g_node[nstarts]
+                nends = np.append(nstarts[1:], g_node.size)
+                nodes_l = nodes_p.tolist()
+                nst = nstarts.tolist()
+                nen = nends.tolist()
+                gl = g_label.tolist()
+                gs = gsum.tolist()
+
+                def _scalar_span(t0: int, t1: int) -> None:
+                    """Sequential exact part for present nodes [t0, t1):
+                    per-group dq argmax against the live cv[]; groups are
+                    label-ascending per node, and the (>) / (==, <)
+                    comparison reproduces the oracle's
+                    first-max-over-ascending-labels tie pin."""
+                    nonlocal moved
+                    for t in range(t0, t1):
+                        i = nodes_l[t]
+                        c = labc_l[i]
+                        g0, g1 = nst[t], nen[t]
+                        pos = bisect_left(gl, c, g0, g1)
+                        w_c = (
+                            float(gs[pos])
+                            if pos < g1 and gl[pos] == c
+                            else 0.0
+                        )
+                        i_vol = float(vol_l[i])
+                        vol_c_minus_i = float(cv[c]) - i_vol
+                        best_dq = 0.0
+                        best_d = -1
+                        for g in range(g0, g1):
+                            d = gl[g]
+                            dq = (gs[g] - w_c) / w + (
+                                vol_c_minus_i - cv[d]
+                            ) * i_vol * inv_2w2
+                            if dq > best_dq or (
+                                dq == best_dq and best_d >= 0 and d < best_d
+                            ):
+                                best_dq = dq
+                                best_d = d
+                        if best_d >= 0 and best_d != c:
+                            labc_l[i] = best_d
+                            labc[i] = best_d
+                            vi = vol_l[i]
+                            cv[best_d] += vi
+                            cv[c] -= vi
+                            cv_np[best_d] += vi
+                            cv_np[c] -= vi
+                            moved += 1
+
+                run_i += 1
+                # while disabled, re-probe every 8th run: the clean
+                # fraction is region- and regime-dependent, so a bad
+                # prefix must not blind the sweep to a payable tail
+                this_run = pack_ok and (analyze or run_i % 8 == 0)
+                if not this_run or len(nodes_l) < 12:
+                    _scalar_span(0, len(nodes_l))
+                else:
+                    # OPTIMISTIC JACOBI + DIRTY-WALK. Evaluate every
+                    # node's decision vectorized against the RUN-START cv
+                    # snapshot, then walk the run in sweep order: a node
+                    # none of whose read communities ({own} ∪ candidates)
+                    # has been written earlier in this run sees cv values
+                    # identical to the snapshot — its precomputed decision
+                    # IS the sequential decision (neighbor labels are
+                    # frozen for the whole run, so the weight sums never
+                    # drift). Only nodes whose reads were dirtied recompute
+                    # against the live cv. Exactness does not depend on
+                    # how many nodes stay clean — dirtiness only routes
+                    # between two exact evaluations.
+                    win_label, mov = _jacobi_eval(
+                        nodes_p, nstarts, nends, g_node, g_label,
+                        gsum.astype(np.float64), labc, cv_np, vol,
+                        w, inv_2w2, a, big_k,
+                    )
+                    win_l = win_label.tolist()
+                    mov_l = mov.tolist()
+                    dirty = bytearray(big_k)
+                    any_dirty = False  # no write yet -> every node clean
+                    for t in range(len(nodes_l)):
+                        i = nodes_l[t]
+                        c = labc_l[i]
+                        g0, g1 = nst[t], nen[t]
+                        win_seen += 1
+                        is_dirty = False
+                        if any_dirty:
+                            is_dirty = dirty[c]
+                            if not is_dirty:
+                                for g in range(g0, g1):
+                                    if dirty[gl[g]]:
+                                        is_dirty = True
+                                        break
+                        if not is_dirty:
+                            win_vec += 1
+                            if mov_l[t]:
+                                d = win_l[t]
+                                labc_l[i] = d
+                                labc[i] = d
+                                vi = vol_l[i]
+                                cv[d] += vi
+                                cv[c] -= vi
+                                cv_np[d] += vi
+                                cv_np[c] -= vi
+                                dirty[d] = 1
+                                dirty[c] = 1
+                                any_dirty = True
+                                moved += 1
+                            continue
+                        # dirtied reads: recompute against the live cv —
+                        # same expression, op for op, as _scalar_span
+                        pos = bisect_left(gl, c, g0, g1)
+                        w_c = (
+                            float(gs[pos])
+                            if pos < g1 and gl[pos] == c
+                            else 0.0
+                        )
+                        i_vol = float(vol_l[i])
+                        vol_c_minus_i = float(cv[c]) - i_vol
+                        best_dq = 0.0
+                        best_d = -1
+                        for g in range(g0, g1):
+                            d = gl[g]
+                            dq = (gs[g] - w_c) / w + (
+                                vol_c_minus_i - cv[d]
+                            ) * i_vol * inv_2w2
+                            if dq > best_dq or (
+                                dq == best_dq and best_d >= 0 and d < best_d
+                            ):
+                                best_dq = dq
+                                best_d = d
+                        if best_d >= 0 and best_d != c:
+                            labc_l[i] = best_d
+                            labc[i] = best_d
+                            vi = vol_l[i]
+                            cv[best_d] += vi
+                            cv[c] -= vi
+                            cv_np[best_d] += vi
+                            cv_np[c] -= vi
+                            dirty[best_d] = 1
+                            dirty[c] = 1
+                            any_dirty = True
+                            moved += 1
+                    if win_seen > 20_000:
+                        analyze = win_vec * 3 >= win_seen
+                        win_seen = win_vec = 0
+        a = b
+    labels[:m] = uniq[labc[:m]]
+    if isinstance(comm_vol, dict):
+        for idx_k, lab_k in enumerate(uniq.tolist()):
+            comm_vol[lab_k] = cv[idx_k]
+    else:
+        comm_vol[uniq] = np.asarray(cv, dtype=np.int64)
     return moved

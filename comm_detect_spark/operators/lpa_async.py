@@ -197,6 +197,7 @@ def lpa_async(
 
         updated = _counter(it, n)
         updated_prev = _counter(it - 1, n) if it > 1 else n
+    else:
         state = drv.start(
             vertex_range(spark, n)
             .withColumn("label", F.col("vid"))

@@ -139,6 +139,54 @@ class TestLocalMoveParity:
             assert ma == mb and np.array_equal(la, lb)
         assert np.array_equal(cva, cvb)
 
+    def test_grid_vector_chunks_fire_and_match_oracle(self, monkeypatch):
+        """Parity on a hashed-id 2D grid — the layout where the optimistic
+        Jacobi evaluation engages heavily (low degree, no hubs: most nodes
+        stay clean through the dirty-walk). Non-vacuity asserted via a
+        counter on _jacobi_eval so this test fails if the vectorized path
+        ever stops firing here and the parity claim silently degrades to
+        scalar-only."""
+        from comm_detect_spark.operators import kernels
+
+        side = 40
+        n = side * side
+        rng = np.random.Generator(np.random.PCG64(0))
+        perm = rng.permutation(n)
+        srcs, dsts = [], []
+        for di, dj in ((0, 1), (1, 0)):
+            i = np.arange(n)
+            ii, jj = i // side, i % side
+            ni, nj = ii + di, jj + dj
+            ok = (ni < side) & (nj < side)
+            a = perm[i[ok]]
+            b = perm[(ni * side + nj)[ok]]
+            srcs += [a, b]
+            dsts += [b, a]
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        adj = Adjacency.from_entries(n, s, d, np.ones(s.size, dtype=np.int64))
+        vol = volumes(adj)
+        w = adj.weight_net
+        fired = {"nodes": 0}
+        real = kernels._jacobi_eval
+
+        def counting(nodes_p, *args, **kw):
+            fired["nodes"] += nodes_p.size
+            return real(nodes_p, *args, **kw)
+
+        monkeypatch.setattr(kernels, "_jacobi_eval", counting)
+        la = np.arange(n, dtype=np.int64)
+        lb = la.copy()
+        cva = vol.copy()
+        cvb = vol.copy()
+        for _ in range(3):
+            ma = local_move_sweep(adj, la, vol, cva, w)
+            mb = kernels.local_move_sweep_fast(adj, lb, vol, cvb, w)
+            assert ma == mb
+            assert np.array_equal(la, lb)
+        assert np.array_equal(cva, cvb)
+        assert fired["nodes"] > n  # vector path carried the bulk
+
     def test_block_view_with_externals_and_dict_volumes(self):
         adj = _random_graph(150, 700, seed=11)
         m = 100
