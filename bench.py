@@ -4,10 +4,22 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Protocol (round 4 — see BENCH/PROTOCOL.md for the round-by-round map):
+the host's CPU grant is bursty (identical configs measured 66.5 s vs 187 s
+back-to-back — PERFORMANCE.md), so a single timing attributes nothing.
+Every query is timed in $SPARK_GRAFT_BENCH_REPS (default 2) INTERLEAVED
+repetitions — the full query list per repetition, never the same query
+back-to-back — and the reported per-query number is the median. A
+GIL-released numpy sort microbenchmark (the same shuffle-shaped probe
+scripts/scaling_bench.py calibrates with) runs adjacent to every
+repetition; its per-rep throughput is emitted as `hw_anchor` so a
+cross-round swing can be attributed to the host window (anchor moved with
+it) or the engine (anchor flat, query moved).
+
 The BASELINE.json target metric is edges-processed/sec per iteration for
 PageRank + LPA; those run over the deterministic RMAT bench graph
 (FIXTURES.md §3.6, PCG64 seed=42 — no external data), reported under
-"throughput". Scaling evidence (local[8] vs local[32]) lives in
+"throughput". Scaling evidence (local[N] vs local[4N]) lives in
 scripts/scaling_bench.py -> BENCH/BASELINE.md.
 """
 
@@ -15,8 +27,10 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 
 def build_rmat_edges(spark, scale: int, edge_factor: int):
@@ -47,9 +61,29 @@ def build_rmat_edges(spark, scale: int, edge_factor: int):
     return n, directed, sym
 
 
+def hw_anchor(threads: int = 4, units_per_thread: int = 2) -> float:
+    """Sustained parallel numpy-sort throughput (units/sec) — the hardware
+    calibration probe (same shape as scaling_bench.calibrate). Fixed at 4
+    threads: the sandbox's grant saturates near there, so the anchor tracks
+    the achievable window, not the advertised core count."""
+    import numpy as np
+
+    def burn(_):
+        x = np.random.default_rng(0).random(300_000)
+        for _ in range(40):
+            np.sort(x)
+
+    n_units = threads * units_per_thread
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(burn, range(n_units)))
+    return n_units / (time.perf_counter() - t0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     rmat_scale = int(os.environ.get("SPARK_GRAFT_RMAT_SCALE", "18"))
     rmat_ef = int(os.environ.get("SPARK_GRAFT_RMAT_EF", "8"))
     pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "10"))
@@ -71,45 +105,28 @@ def main() -> None:
     )
 
     import __spark_entry__ as entry_mod
+    from comm_detect_spark.operators.louvain import louvain
     from comm_detect_spark.operators.lpa import lpa_sync
     from comm_detect_spark.operators.pagerank import pagerank
     from comm_detect_spark.plans.driver import IterationDriver
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    anchors: list[float] = []
 
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
+        runs.setdefault(name, []).append(round(dt, 3))
         return out
 
-    # --- iterative graph kernels over the RMAT bench graph ---------------
+    # --- inputs built once, shared by every repetition --------------------
     n, directed, sym = build_rmat_edges(spark, rmat_scale, rmat_ef)
     directed = directed.persist()
     m_directed = directed.count()
     sym = sym.persist()
     m_sym = sym.count()
 
-    timed(
-        "pagerank_rmat",
-        lambda: pagerank(
-            spark, directed, n, iterations=pr_iters,
-            driver=IterationDriver(checkpoint_every=3),
-        ).count(),
-    )
-    timed(
-        "lpa_sync_rmat",
-        lambda: lpa_sync(
-            spark, sym, n, eps=-1.0, max_iter=lpa_sweeps,
-            driver=IterationDriver(checkpoint_every=3),
-        ).count(),
-    )
-
-    pr_eps = m_directed * pr_iters / timings["pagerank_rmat"]
-    lpa_eps = m_sym * lpa_sweeps / timings["lpa_sync_rmat"]
-
-    # --- headline queries over the sf tables ------------------------------
     queries = entry_mod.queries()
     bench_queries = [
         "graph_volumes",
@@ -135,28 +152,68 @@ def main() -> None:
         "cc_full",
         "corpus_dedup",
     ]
-    for name in bench_queries:
-        timed(name, lambda name=name: queries[name](spark, sf_dir).count())
-
-    # full Louvain in oracle-parity mode (num_blocks=1) is a single-task
-    # kernel by construction — sf0.01 exercises the whole recursion at a
-    # cost that keeps the bench loop tight (the per-round brief's call)
+    # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
+    # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
+    # kernel + frontier + freeze machine) so the scale path has a timed
+    # regression tripwire
     lv_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01")
     if not os.path.isdir(lv_dir):
         lv_dir = sf_dir
-    timed(
-        "louvain_communities",
-        lambda: queries["louvain_communities"](spark, lv_dir).count(),
-    )
+
+    def louvain_multiblock():
+        from pyspark.sql import functions as F
+
+        sym_g = entry_mod._g_sym(spark, lv_dir)
+        n_g = int(
+            sym_g.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
+        ) + 1
+        out, _ = louvain(spark, sym_g, n_g, num_blocks=cpus, frontier=True)
+        return out.count()
+
+    for rep in range(reps):
+        anchors.append(round(hw_anchor(), 2))
+        timed(
+            "pagerank_rmat",
+            lambda: pagerank(
+                spark, directed, n, iterations=pr_iters,
+                driver=IterationDriver(checkpoint_every=3),
+            ).count(),
+        )
+        timed(
+            "lpa_sync_rmat",
+            lambda: lpa_sync(
+                spark, sym, n, eps=-1.0, max_iter=lpa_sweeps,
+                driver=IterationDriver(checkpoint_every=3),
+            ).count(),
+        )
+        for name in bench_queries:
+            timed(name, lambda name=name: queries[name](spark, sf_dir).count())
+        timed(
+            "louvain_communities",
+            lambda: queries["louvain_communities"](spark, lv_dir).count(),
+        )
+        timed("louvain_multiblock", louvain_multiblock)
+
+    timings = {name: statistics.median(ts) for name, ts in runs.items()}
+    pr_eps = m_directed * pr_iters / timings["pagerank_rmat"]
+    lpa_eps = m_sym * lpa_sweeps / timings["lpa_sync_rmat"]
 
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "edges_per_sec_per_iteration(pagerank+lpa)",
         "value": round((pr_eps + lpa_eps) / 2.0, 1),
         "unit": "edges/sec",
-        "queries": timings,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "total_sec": total,
+        "protocol": "interleaved_medians_v2",
+        "reps": reps,
+        "runs": runs,
+        "hw_anchor": {
+            "what": "numpy-sort units/sec at 4 threads, one run per rep",
+            "units_per_sec": anchors,
+            "median": round(statistics.median(anchors), 2),
+        },
         "throughput": {
             "pagerank_edges_per_sec_per_iter": round(pr_eps, 1),
             "lpa_edges_per_sec_per_iter": round(lpa_eps, 1),
@@ -167,6 +224,7 @@ def main() -> None:
             "lpa_sweeps": lpa_sweeps,
             "cpus": cpus,
             "louvain_sf_dir": lv_dir,
+            "louvain_multiblock_num_blocks": cpus,
         },
     }
     print(json.dumps(result))

@@ -34,3 +34,31 @@ def read_labels_text(spark: SparkSession, path: str) -> DataFrame:
 
 def write_labels_parquet(state: DataFrame, path: str) -> None:
     state.write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int,
+    key: str = "vid",
+) -> None:
+    """Persist an algorithm output hash-BUCKETED by its join key, so every
+    downstream consumer (url mapping, per-community metrics, the next
+    pipeline stage) starts co-partitioned and skips one exchange — cheap at
+    write time, saved once per consumer. Uses the catalog bucketed-table
+    path (`bucketBy` + external `path`): plain parquet files carry no
+    bucketing metadata Spark can trust, the table registration is what
+    lets the planner drop the shuffle (asserted on the plan in
+    tests/test_plans.py). On a real deployment this is the Iceberg
+    `bucket(N, vid)` partition transform — same seam as
+    plans/checkpoint.py."""
+    (
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

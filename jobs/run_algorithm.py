@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--checkpoint-root")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--output-buckets", type=int, default=None,
+                    help="also register <out> as a vid-bucketed table "
+                         "(downstream joins start co-partitioned — one "
+                         "exchange saved per consumer)")
+    ap.add_argument("--output-table", default="algo_out",
+                    help="catalog table name for --output-buckets")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"comm-detect-{args.algo}").getOrCreate()
@@ -116,7 +122,12 @@ def main():
     else:
         out = triangle_counts(edges)
 
-    out.write.mode("overwrite").parquet(args.out)
+    if args.output_buckets:
+        from comm_detect_spark.sources.sinks import write_bucketed
+
+        write_bucketed(out, args.output_table, args.out, args.output_buckets)
+    else:
+        out.write.mode("overwrite").parquet(args.out)
     spark.stop()
 
 

@@ -212,6 +212,9 @@ Graph: {low['vertices']:,} vertices, {low['edges_directed']:,} directed edges,
   OpenMP threads at 0.96 efficiency (BASELINE.md) on dedicated hardware.
 
 Re-run: `python scripts/scaling_bench.py` (defaults N={args.low}, 4N={args.high}).
+
+Cross-round protocol map (which BENCH_r* numbers are comparable to
+which): BENCH/PROTOCOL.md.
 """
         )
 

@@ -181,6 +181,39 @@ class TestShuffleBudget:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
 
+    def test_bucketed_output_join_no_exchange(self, spark, tmp_path):
+        """sinks.write_bucketed contract (jobs/run_algorithm
+        --output-buckets): an algorithm output registered as a vid-bucketed
+        table joins a same-bucketed consumer with NO exchange — the write
+        pre-pays the shuffle every downstream consumer would otherwise
+        repeat."""
+        from comm_detect_spark.sources.sinks import write_bucketed
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buckets = 4
+            out = spark.range(500).select(
+                F.col("id").alias("vid"), (F.col("id") % 7).alias("label")
+            )
+            write_bucketed(
+                out, "t_bucketed_out", str(tmp_path / "out"), buckets
+            )
+            scan = spark.table("t_bucketed_out")
+            consumer = (
+                spark.range(500)
+                .select(F.col("id").alias("vid"), F.lit("u").alias("url"))
+                .repartition(buckets, "vid")
+                .persist()
+            )
+            consumer.count()
+            joined = scan.join(consumer, "vid")
+            assert live_exchange_count(plan_of(joined)) == 0, plan_of(joined)
+            consumer.unpersist()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_bucketed_out")
+
     def test_ivf_pruned_probe_is_a_partition_filter(self, spark, tmp_path):
         """write_ivf_table partitions by list_id, so ivf_topk_pruned's probe
         must reach the scan as a PARTITION filter (non-probed lists never

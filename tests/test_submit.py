@@ -91,6 +91,58 @@ def test_spark_submit_pages_pipeline(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_spark_submit_louvain_resume_end_to_end(spark, tmp_path, jazz, jazz_df):
+    """--algo louvain --resume through the CLI: the per-level store factory
+    (run_algorithm.py's deterministic run-id sequence) is wired where users
+    touch it. Scenario: a full checkpointed run, then the DEEPEST level's
+    store is deleted (the crash-at-level-boundary shape) and a --resume run
+    must fast-path the surviving levels, recompute the lost one, and emit
+    an identical partition."""
+    import shutil as _shutil
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "comm_detect_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, cwd=root,
+    )
+    edges_path = str(tmp_path / "edges.parquet")
+    jazz_df.write.mode("overwrite").parquet(edges_path)
+    ckpt = str(tmp_path / "ckpt")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+
+    def run(out, extra):
+        subprocess.run(
+            [spark_submit, "--master", "local[2]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             "--py-files", zip_path,
+             os.path.join(root, "jobs", "run_algorithm.py"),
+             "--algo", "louvain", "--edges", edges_path,
+             "--out", out, "--num-blocks", "4",
+             "--checkpoint-root", ckpt, "--run-id", "e2e"] + extra,
+            check=True, cwd=str(tmp_path), env=env, timeout=420,
+        )
+
+    run(str(tmp_path / "full"), [])
+    level_dirs = sorted(
+        d for d in os.listdir(ckpt) if d.startswith("e2e-L")
+    )
+    assert len(level_dirs) >= 2  # jazz coarsens at least once
+    _shutil.rmtree(os.path.join(ckpt, level_dirs[-1]))  # lose deepest level
+    run(str(tmp_path / "resumed"), ["--resume"])
+    full = {r["vid"]: r["label"]
+            for r in spark.read.parquet(str(tmp_path / "full")).collect()}
+    resumed = {r["vid"]: r["label"]
+               for r in spark.read.parquet(str(tmp_path / "resumed")).collect()}
+    assert resumed == full and len(full) == jazz[0]
+
+
+@pytest.mark.slow
 def test_spark_submit_corpus_dedup_end_to_end(spark, tmp_path):
     """jobs/run_corpus.py --task dedup in a separate JVM: the keep-list
     must mark exactly one representative per near-dup cluster."""
