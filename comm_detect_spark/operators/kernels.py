@@ -41,11 +41,19 @@ Reference for semantics: plp.cc:22-69 (dominant label), plm.cc:192-242
 
 from __future__ import annotations
 
+import ctypes
 from bisect import bisect_left
 
 import numpy as np
 
+from comm_detect_spark.operators import _native
 from comm_detect_spark.oracle.algorithms import Adjacency
+
+_P64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def _p(a: np.ndarray):
+    return a.ctypes.data_as(_P64)
 
 
 def _prev_member_neighbor(adj: Adjacency, m: int) -> np.ndarray:
@@ -233,14 +241,19 @@ def local_move_sweep_fast(
     # flat list the hot loop indexes directly instead of hashing
     uniq = np.unique(labels[: adj.n])
     big_k = uniq.size
-    labc = np.searchsorted(uniq, labels[: adj.n])
+    labc = np.ascontiguousarray(
+        np.searchsorted(uniq, labels[: adj.n]), dtype=np.int64
+    )
     if isinstance(comm_vol, dict):
         cv = [comm_vol[int(l)] for l in uniq.tolist()]
     else:
         cv = np.asarray(comm_vol)[uniq].tolist()
-    labc_l = labc.tolist()
-    cv_np = np.asarray(cv, dtype=np.int64)  # vector-path twin of cv
-    vol_l = vol.tolist()
+    cv_np = np.asarray(cv, dtype=np.int64)  # numpy twin, always in sync
+    native = _native.local_move_walk()
+    vol_c = np.ascontiguousarray(vol, dtype=np.int64)
+    if native is None:
+        labc_l = labc.tolist()
+        vol_l = vol.tolist()
     prev = _prev_member_neighbor(adj, m)
     prev_l = prev.tolist()
     pack_ok = big_k.bit_length() + m.bit_length() <= 62
@@ -304,6 +317,17 @@ def local_move_sweep_fast(
                 nstarts = np.flatnonzero(nfirst)
                 nodes_p = g_node[nstarts]
                 nends = np.append(nstarts[1:], g_node.size)
+                if native is not None:
+                    # compiled walk (same op order — _native docstring):
+                    # the whole sequential part leaves Python, so neither
+                    # the Jacobi evaluation nor the list mirrors pay off
+                    moved += int(native(
+                        nodes_p.size, _p(nodes_p), _p(nstarts), _p(nends),
+                        _p(g_label), _p(gsum), _p(labc), _p(cv_np),
+                        _p(vol_c), w, inv_2w2,
+                    ))
+                    a = b
+                    continue
                 nodes_l = nodes_p.tolist()
                 nst = nstarts.tolist()
                 nen = nends.tolist()
@@ -448,9 +472,10 @@ def local_move_sweep_fast(
                         win_seen = win_vec = 0
         a = b
     labels[:m] = uniq[labc[:m]]
+    # cv_np is authoritative on both paths (the Python walk writes through)
     if isinstance(comm_vol, dict):
-        for idx_k, lab_k in enumerate(uniq.tolist()):
-            comm_vol[lab_k] = cv[idx_k]
+        for lab_k, v_k in zip(uniq.tolist(), cv_np.tolist()):
+            comm_vol[lab_k] = v_k
     else:
-        comm_vol[uniq] = np.asarray(cv, dtype=np.int64)
+        comm_vol[uniq] = cv_np
     return moved

@@ -175,6 +175,10 @@ class TestLocalMoveParity:
             return real(nodes_p, *args, **kw)
 
         monkeypatch.setattr(kernels, "_jacobi_eval", counting)
+        # force the pure-Python walk: with the compiled walk active the
+        # Jacobi evaluation is bypassed entirely (native parity has its
+        # own gate below, test_native_walk_parity)
+        monkeypatch.setattr(kernels._native, "local_move_walk", lambda: None)
         la = np.arange(n, dtype=np.int64)
         lb = la.copy()
         cva = vol.copy()
@@ -186,6 +190,38 @@ class TestLocalMoveParity:
             assert np.array_equal(la, lb)
         assert np.array_equal(cva, cvb)
         assert fired["nodes"] > n  # vector path carried the bulk
+
+    def test_native_walk_parity(self, monkeypatch):
+        """The compiled C walk (operators/_native.py) must be element-exact
+        vs the pure-Python walk — same labels, same cv, same moved counts —
+        across multiple sweeps on a weighted random graph (the float64
+        operation order is pinned by -ffp-contract=off; see _native).
+        Skips where no C compiler is available (the Python path is the
+        portable fallback by design)."""
+        from comm_detect_spark.operators import _native, kernels
+
+        if _native.local_move_walk() is None:
+            pytest.skip("no native kernel on this platform")
+        adj = _random_graph(300, 1500, seed=9)
+        vol = volumes(adj)
+        w = adj.weight_net
+        la = np.arange(adj.n, dtype=np.int64)
+        lb = la.copy()
+        cva = vol.copy()
+        cvb = vol.copy()
+        ma_all, mb_all = [], []
+        for _ in range(4):
+            ma_all.append(
+                kernels.local_move_sweep_fast(adj, la, vol, cva, w)
+            )
+        monkeypatch.setattr(kernels._native, "local_move_walk", lambda: None)
+        for _ in range(4):
+            mb_all.append(
+                kernels.local_move_sweep_fast(adj, lb, vol, cvb, w)
+            )
+        assert ma_all == mb_all
+        assert np.array_equal(la, lb)
+        assert np.array_equal(cva, cvb)
 
     def test_block_view_with_externals_and_dict_volumes(self):
         adj = _random_graph(150, 700, seed=11)
