@@ -361,6 +361,27 @@ def _q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, "doc_id", "text", k=3, max_hamming=3)
 
 
+def _q_decontaminate(spark, sf_dir):
+    # training-data decontamination: flag docs sharing any shingle with a
+    # "benchmark" set (here: the doc_id % 20 == 0 slice of the same corpus
+    # — self-contained and fully SQL-replayable; n=3 to share the oracle's
+    # shingle CTE, the operator itself defaults to n=8)
+    from comm_detect_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
+def _q_hash_split(spark, sf_dir):
+    # deterministic train/val split by hashed id — stable under corpus
+    # growth; the oracle replays the identical md5 bucket arithmetic
+    from comm_detect_spark.operators.corpus import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs)
+
+
 def _q_cc_full(spark, sf_dir):
     """Full connected components to fixpoint — the DuckDB oracle is a
     recursive CTE computing min reachable vid, so even the ITERATIVE
@@ -450,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_top5": _q_embedding_ivf_top5,
         "embedding_ann_pairs": _q_embedding_ann_pairs,
         "corpus_dedup": _q_corpus_dedup,
+        "decontaminate": _q_decontaminate,
+        "hash_split": _q_hash_split,
         "events_hourly": _q_events_hourly,
         "cc_full": _q_cc_full,
         "louvain_communities": _q_louvain,
@@ -977,6 +1000,25 @@ SELECT user_id,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "decontaminate": f"""
+WITH {_SQL_SHINGLES},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 20 = 0),
+hits AS (
+  SELECT sh.id, COUNT(*) AS hits
+  FROM sh JOIN bench USING (shingle) GROUP BY sh.id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       COALESCE(h.hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+""",
+        "hash_split": f"""
+SELECT doc_id AS id,
+       CASE WHEN {_H60_SQL.format(x="CAST(doc_id AS VARCHAR) || '#42'")}
+                 % 1000000 < 900000
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
 """,
         "corpus_dedup": f"""
 WITH RECURSIVE {_SQL_SHINGLES},

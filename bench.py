@@ -151,6 +151,8 @@ def main() -> None:
         # visible in BENCH_r*
         "cc_full",
         "corpus_dedup",
+        "decontaminate",
+        "hash_split",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

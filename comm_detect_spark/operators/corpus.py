@@ -84,3 +84,37 @@ def corpus_keep_list(
             & (F.col("quality") >= F.lit(min_quality))
         ).alias("keep"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple = (("train", 0.9), ("val", 0.1)),
+    seed: int = 42,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """(id, split): deterministic train/val/test assignment by hashed id.
+
+    The split of a document depends ONLY on (id, seed) — never on the rest
+    of the corpus — so appending, filtering, or re-sharding the corpus
+    keeps every existing assignment (the property random sampling lacks
+    and training pipelines need for reproducible ablations). bucket =
+    60-bit md5(id || '#' || seed) mod ``denom``; cumulative fraction
+    thresholds over the bucket assign the named splits, remainders land in
+    the last split. Pure column expression (JVM-side, one scan, no
+    shuffle); the DuckDB oracle replays the identical md5 arithmetic."""
+    from comm_detect_spark.operators.dedup import _h60
+
+    bucket = F.pmod(
+        _h60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+        F.lit(denom),
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in fractions[:-1]:
+        acc += frac
+        cond = bucket < int(acc * denom)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.select(F.col(id_col).alias("id"), split.alias("split"))

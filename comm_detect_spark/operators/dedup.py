@@ -258,3 +258,56 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, hits, contaminated): flag training documents that share any
+    n-word shingle with a held-out benchmark/eval set — the
+    decontamination pass every training-data pipeline runs before a model
+    sees the corpus. ``hits`` = number of distinct leaked shingles (the
+    audit evidence, not just a boolean).
+
+    100 TB shape: eval sets are MBs against a corpus of TBs, so the
+    benchmark shingle table is BROADCAST and the corpus side is a
+    map-side semi-join over its exploded shingles — the only shuffle is
+    the per-id count of HIT rows (tiny). The corpus is scanned twice
+    (shingles + the id spine) but both scans column-prune to (id, text)
+    and (id,). Set ``broadcast_benchmark=False`` if the reference set is
+    itself huge (then it is a plain shuffle equi-join on shingle)."""
+    doc_sh = shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        shingles(
+            benchmark.select(
+                F.lit(0).alias("_bid"), F.col(bench_text_col).alias("text")
+            ),
+            "_bid",
+            "text",
+            n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -420,6 +420,65 @@ class TestIvf:
         assert cent.shape == (1024, 768)
         assert peak < 2 * 1024**3, f"peak {peak/1e9:.1f} GB"
 
+    def test_decontaminate_planted_leak(self, spark):
+        """A training doc containing a benchmark sentence verbatim is
+        flagged with hits >= 1; an unrelated doc is clean. n=8-word
+        shingles (the operator default — the driver check uses n=3 to
+        share the oracle's shingle CTE, which is parameter plumbing, not
+        semantics)."""
+        from comm_detect_spark.operators.dedup import decontaminate
+
+        bench_sentence = (
+            "the capital of france is paris and the capital of italy is rome"
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, f"lead-in text {bench_sentence} trailing text"),
+                (1, "a completely unrelated document about spark engines "
+                    "running community detection at one hundred terabytes"),
+                (2, bench_sentence),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+        bench = spark.createDataFrame(
+            [(bench_sentence,)], "text STRING"
+        )
+        got = {
+            r["id"]: (r["hits"], r["contaminated"])
+            for r in decontaminate(docs, bench, n=8).collect()
+        }
+        assert got[0][1] is True and got[0][0] >= 1
+        assert got[2][1] is True
+        assert got[1] == (0, False)
+
+    def test_hash_split_deterministic_and_append_stable(self, spark):
+        """The split of an id must not change when the corpus grows — the
+        property random sampling lacks. Also: fractions land near target
+        and the assignment is reproducible across calls."""
+        from comm_detect_spark.operators.corpus import hash_split
+
+        base = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        bigger = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        s1 = {r["id"]: r["split"] for r in hash_split(base).collect()}
+        s2 = {r["id"]: r["split"] for r in hash_split(base).collect()}
+        s3 = {r["id"]: r["split"] for r in hash_split(bigger).collect()}
+        assert s1 == s2
+        assert all(s3[i] == s1[i] for i in s1)  # append-stable
+        frac_val = sum(1 for v in s1.values() if v == "val") / len(s1)
+        assert 0.05 < frac_val < 0.15  # ~0.1 target at n=2000
+        # three-way split covers the cumulative-threshold chain
+        s4 = {
+            r["id"]: r["split"]
+            for r in hash_split(
+                base,
+                fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+            ).collect()
+        }
+        assert set(s4.values()) == {"train", "val", "test"}
+        # train/val boundary nesting: a doc in 3-way 'train' is 'train'
+        # in the 2-way split too (same bucket, smaller threshold)
+        assert all(s1[i] == "train" for i, v in s4.items() if v == "train")
+
     def test_centroid_parquet_roundtrip(self, spark, tmp_path):
         """The quantizer sidecar rides Spark parquet (works on hdfs/s3
         paths, unlike the np.save it replaced) and must roundtrip exactly."""
