@@ -169,6 +169,78 @@ def ivf_fit_centroids(
     return kmeans_centroids(x, n_centroids, seed, iters)
 
 
+def ivf_fit_centroids_distributed(
+    df: DataFrame,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 10,
+    init_sample: int = 2048,
+) -> np.ndarray:
+    """Full-corpus Lloyd k-means, distributed: the 100 TB companion of
+    ivf_fit_centroids (which fits on a driver-side sample). Init is the
+    same deterministic hash-ordered sample + PCG64 pick; each iteration is
+    then ONE Spark job — executors assign every vector to its nearest
+    centroid with the ivf_assign_udf scoring (batch matmul of
+    x.c - ||c||^2/2, ties -> lowest id) and emit per-batch partial
+    (list_id, count, sum) rows; the driver folds the partials IN COLLECTED
+    ORDER (partition-major, deterministic for a fixed input layout) into
+    the k x dim update. Driver state is O(k*dim); the corpus is never
+    collected.
+
+    Determinism caveat, stated rather than hidden: the float64 fold order
+    follows the input's partition layout, so refitting after a reshard can
+    drift in the last ulp. Production pins the quantizer by persisting it
+    (write_centroids) once — refits are new quantizers, as with any ANN
+    index."""
+    import pandas as pd
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(_h60(F.col(id_col)), F.col(id_col))
+        .limit(init_sample)
+        .collect()
+    )
+    x0 = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x0[
+        rng.choice(x0.shape[0], size=min(n_centroids, x0.shape[0]), replace=False)
+    ].copy()
+    src = df.select(F.col(vec_col).alias("v"))
+    schema = "list_id INT, cnt BIGINT, vec ARRAY<DOUBLE>"
+    for _ in range(iters):
+        c = cent.copy()
+        bias = 0.5 * (c * c).sum(axis=1)
+
+        def partials(batches, c=c, bias=bias):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"].tolist()]
+                )
+                assign = np.argmax(v @ c.T - bias, axis=1)
+                out = []
+                for lst in np.unique(assign):
+                    m = v[assign == lst]
+                    out.append(
+                        (int(lst), int(m.shape[0]), m.sum(axis=0).tolist())
+                    )
+                yield pd.DataFrame(out, columns=["list_id", "cnt", "vec"])
+
+        parts = src.mapInPandas(partials, schema).collect()
+        sums = np.zeros_like(cent)
+        cnts = np.zeros(cent.shape[0], dtype=np.int64)
+        for r in parts:
+            lst = r["list_id"]
+            sums[lst] += np.asarray(r["vec"], dtype=np.float64)
+            cnts[lst] += r["cnt"]
+        upd = cnts > 0
+        cent[upd] = sums[upd] / cnts[upd][:, None]
+    return cent
+
+
 def write_centroids(spark, path: str, centroids: np.ndarray) -> None:
     """Persist the quantizer through Spark (works for hdfs:///s3:// paths,
     unlike a driver-local np.save): one row per centroid."""

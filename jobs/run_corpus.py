@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--vec-id-col", default="vec_id")
     ap.add_argument("--n-centroids", type=int, default=64)
+    ap.add_argument("--fit", choices=["sample", "distributed"],
+                    default="sample",
+                    help="ivf-index quantizer training: driver-side hash "
+                         "sample (deterministic, oracle-replayable) or "
+                         "full-corpus distributed Lloyd iterations")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"corpus-{args.task}").getOrCreate()
@@ -78,11 +83,17 @@ def main():
     else:  # ivf-index
         from comm_detect_spark.operators.similarity import (
             ivf_fit_centroids,
+            ivf_fit_centroids_distributed,
             write_centroids,
             write_ivf_table,
         )
 
-        cent = ivf_fit_centroids(
+        fit = (
+            ivf_fit_centroids_distributed
+            if args.fit == "distributed"
+            else ivf_fit_centroids
+        )
+        cent = fit(
             docs, n_centroids=args.n_centroids,
             id_col=args.vec_id_col, vec_col=args.vec_col,
         )

@@ -493,6 +493,64 @@ class TestIvf:
         write_centroids(spark, path, cent)
         assert np.array_equal(read_centroids(spark, path), cent)
 
+    def test_distributed_fit_matches_driver_fit(self, spark):
+        """ivf_fit_centroids_distributed: (a) deterministic across calls;
+        (b) on a single partition with one Arrow batch its fold order
+        equals the in-memory trainer's, so the centroids match the numpy
+        fit on the full data EXACTLY; (c) multi-partition stays allclose
+        (fold order changes, math does not)."""
+        import numpy as np
+        from comm_detect_spark.operators.similarity import (
+            ivf_fit_centroids_distributed,
+            kmeans_centroids,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(21))
+        n, dim, k = 400, 10, 4
+        x = rng.standard_normal((n, dim)) * 3.0
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        one = df.coalesce(1)
+        c1 = ivf_fit_centroids_distributed(
+            one, n_centroids=k, iters=5, init_sample=n
+        )
+        c2 = ivf_fit_centroids_distributed(
+            one, n_centroids=k, iters=5, init_sample=n
+        )
+        assert np.array_equal(c1, c2)
+        # single-partition exactness vs the in-memory trainer on the SAME
+        # row order (the hash-ordered sample covers all rows here, and the
+        # distributed init picks from it with the same PCG64 stream)
+        import hashlib
+
+        order = sorted(
+            range(n),
+            key=lambda i: (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16),
+                i,
+            ),
+        )
+        # df row order (parquet-free createDataFrame) is insertion order;
+        # the trainer's full pass iterates THAT order, not hash order —
+        # exactness therefore needs the numpy twin to sum in df order
+        ref = kmeans_centroids(x[order], k, seed=42, iters=0)  # init only
+        cent = ref.copy()
+        for _ in range(5):
+            scores = x @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            assign = scores.argmax(axis=1)
+            for c in range(k):
+                m = x[assign == c]
+                if m.size:
+                    cent[c] = m.sum(axis=0) / m.shape[0]
+        assert np.allclose(c1, cent, atol=1e-9)
+        many = df.repartition(8)
+        c3 = ivf_fit_centroids_distributed(
+            many, n_centroids=k, iters=5, init_sample=n
+        )
+        assert np.allclose(c1, c3, atol=1e-9)
+
     def test_hash_sample_recall_beats_id_ordered_on_clustered_ids(self, spark):
         """The r3 bias: an id-ORDERED sample sees only the low-id slice of
         the corpus; when content correlates with id (crawl batches), the
