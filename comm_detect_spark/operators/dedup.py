@@ -53,17 +53,26 @@ def content_hash(c) -> F.Column:
     return F.md5(_norm(c))
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle): distinct k-word shingles of the normalized text."""
-    toks = F.split(_norm(F.col(text_col)), " ")
+def shingle_array(col, k: int = 3) -> F.Column:
+    """Array of k-word shingles of the normalized text — the per-row
+    (stateless) building block shared by the exploded batch form and the
+    streaming decontaminator."""
+    toks = F.split(_norm(col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    return F.filter(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        lambda s: F.length(s) > 0,
     )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle): distinct k-word shingles of the normalized text."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .where(F.length("shingle") > 0)
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+        )
         .distinct()
     )
 

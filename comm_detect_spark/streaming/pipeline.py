@@ -81,3 +81,51 @@ def streaming_exact_dedup(
     return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.decontaminate: the document
+    STREAM is checked against a STATIC benchmark table (the eval set is a
+    fixed artifact, not a stream). Completely STATELESS — the benchmark's
+    distinct shingles are folded into ONE broadcast array row and each
+    document computes size(array_intersect(own shingles, benchmark)) as a
+    per-row expression: no aggregation, no state store to size, append
+    mode trivially supported, runs forever unchanged. array_intersect
+    returns distinct common elements, so ``hits`` keeps the batch
+    operator's semantics (distinct leaked shingles). Emits only
+    contaminated ids — the quarantine stream a pipeline sinks to a review
+    table. Eval sets are MBs, so the one-row array is small; for a huge
+    reference set use the batch operator's equi-join form."""
+    from comm_detect_spark.operators.dedup import shingle_array, shingles
+
+    bench_set = (
+        shingles(
+            benchmark.select(
+                F.lit(0).alias("_bid"), F.col(text_col).alias("text")
+            ),
+            "_bid",
+            "text",
+            n,
+        )
+        .agg(F.collect_set("shingle").alias("_bench"))
+    )
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(shingle_array(F.col(text_col), n)),
+            F.col("_bench"),
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(bench_set))
+        .select(
+            F.col(id_col).alias("id"),
+            hits.cast("bigint").alias("hits"),
+        )
+        .where(F.col("hits") > 0)
+    )

@@ -83,3 +83,34 @@ class TestStreamingExactDedup:
         }
         stream_hashes = {r["content_hash"] for r in got.collect()}
         assert stream_hashes == batch_hashes
+
+
+class TestStreamingDecontaminate:
+    def test_matches_batch_decontaminate(self, spark, tmp_path):
+        """Append-mode streaming decontamination == the batch operator's
+        contaminated set, with identical distinct-leaked-shingle counts
+        (the stateless array_intersect form must not change semantics)."""
+        from comm_detect_spark.operators.dedup import decontaminate
+        from comm_detect_spark.streaming.pipeline import streaming_decontaminate
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 10 == 0).select("text")
+        src_dir = str(tmp_path / "docs_decon")
+        docs.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+        _run_stream(
+            streaming_decontaminate(stream, bench, n=3),
+            "docs_decon", "append",
+        )
+        got = {
+            (r["id"], r["hits"])
+            for r in spark.sql("SELECT * FROM docs_decon").collect()
+        }
+        want = {
+            (r["id"], r["hits"])
+            for r in decontaminate(
+                docs, bench.select(F.col("text")), n=3
+            ).collect()
+            if r["contaminated"]
+        }
+        assert got == want and len(got) > 0
