@@ -3,8 +3,10 @@ from comm_detect_spark.operators.louvain import dense_relabel, louvain  # noqa: 
 from comm_detect_spark.operators.lpa import lpa_sync  # noqa: F401
 from comm_detect_spark.operators.lpa_async import lpa_async  # noqa: F401
 from comm_detect_spark.operators.modularity import modularity_score  # noqa: F401
+from comm_detect_spark.operators.corpus import hash_split  # noqa: F401
 from comm_detect_spark.operators.dedup import (  # noqa: F401
     content_hash,
+    decontaminate,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -17,9 +19,12 @@ from comm_detect_spark.operators.similarity import (  # noqa: F401
     ann_pairs,
     brute_force_topk,
     ivf_fit_centroids,
+    ivf_fit_centroids_distributed,
     ivf_topk,
     ivf_topk_pruned,
     lsh_topk,
+    read_centroids,
+    write_centroids,
     write_ivf_table,
 )
 from comm_detect_spark.operators.triangles import triangle_counts  # noqa: F401
