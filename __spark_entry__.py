@@ -373,6 +373,19 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+def _q_pack_shards(spark, sf_dir):
+    # fixed-token training-shard assignment: deterministic hash order +
+    # two-phase distributed prefix sum (no single-reducer window); the
+    # oracle IS the naive one-window SQL — same numbers, different plan
+    from comm_detect_spark.operators.corpus import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_tokens = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("tokens")
+    )
+    return pack_shards(with_tokens, shard_tokens=5000)
+
+
 def _q_hash_split(spark, sf_dir):
     # deterministic train/val split by hashed id — stable under corpus
     # growth; the oracle replays the identical md5 bucket arithmetic
@@ -473,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": _q_corpus_dedup,
         "decontaminate": _q_decontaminate,
         "hash_split": _q_hash_split,
+        "pack_shards": _q_pack_shards,
         "events_hourly": _q_events_hourly,
         "cc_full": _q_cc_full,
         "louvain_communities": _q_louvain,
@@ -1019,6 +1033,24 @@ SELECT doc_id AS id,
                  % 1000000 < 900000
             THEN 'train' ELSE 'val' END AS split
 FROM documents
+""",
+        "pack_shards": f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+         {_H60_SQL.format(x="CAST(doc_id AS VARCHAR) || '#42'")} AS hk
+  FROM documents
+),
+cum AS (
+  SELECT id,
+         SUM(tok) OVER (ORDER BY hk, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS start_offset
+  FROM toks
+)
+SELECT id, start_offset,
+       CAST(FLOOR(start_offset / 5000) AS BIGINT) AS shard_id
+FROM cum
 """,
         "corpus_dedup": f"""
 WITH RECURSIVE {_SQL_SHINGLES},

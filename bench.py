@@ -153,6 +153,7 @@ def main() -> None:
         "corpus_dedup",
         "decontaminate",
         "hash_split",
+        "pack_shards",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

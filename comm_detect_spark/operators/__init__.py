@@ -3,7 +3,10 @@ from comm_detect_spark.operators.louvain import dense_relabel, louvain  # noqa: 
 from comm_detect_spark.operators.lpa import lpa_sync  # noqa: F401
 from comm_detect_spark.operators.lpa_async import lpa_async  # noqa: F401
 from comm_detect_spark.operators.modularity import modularity_score  # noqa: F401
-from comm_detect_spark.operators.corpus import hash_split  # noqa: F401
+from comm_detect_spark.operators.corpus import (  # noqa: F401
+    hash_split,
+    pack_shards,
+)
 from comm_detect_spark.operators.dedup import (  # noqa: F401
     content_hash,
     decontaminate,

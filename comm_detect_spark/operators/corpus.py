@@ -118,3 +118,74 @@ def hash_split(
     last = fractions[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(last)
     return df.select(F.col(id_col).alias("id"), split.alias("split"))
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    shard_tokens: int = 1_000_000,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, start_offset, shard_id): assign documents to fixed-budget
+    training shards — the last step before a corpus becomes tokenizer
+    input. Documents are laid out in the deterministic hash order
+    (h60(md5(id#seed)), id) — the same shuffle a training run wants anyway
+    — and a document's shard is its START offset's bucket:
+    shard_id = floor(exclusive_prefix_sum(tokens) / shard_tokens).
+    Append-stable it is NOT (packing is inherently order-global); it IS
+    deterministic and exactly SQL-replayable (one window cumsum).
+
+    100 TB shape: the naive formulation is SUM(tokens) OVER (ORDER BY ...)
+    — a SinglePartition window, one reducer over the corpus. Here the
+    prefix sum is two-phase, the dense_ids pattern (graph/core.py):
+    range-partition by the order key (parallel sort), per-partition
+    cumsum window, plus a broadcast exclusive prefix of the per-partition
+    token totals (one row per partition). No single-reducer stage
+    anywhere — plan-asserted in tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    from comm_detect_spark.operators.dedup import _h60
+
+    hk = _h60(F.concat(F.col("id").cast("string"), F.lit(f"#{seed}")))
+    # freeze the ranged layout: range boundaries come from sampling and are
+    # not reproducible across executions — the totals job and the window
+    # job must see the SAME partition assignment (see dense_ids)
+    ranged = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(tokens_col).cast("bigint").alias("_tok"),
+        )
+        .withColumn("_hk", hk)
+        .repartitionByRange(F.col("_hk"), F.col("id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("_pid").agg(F.sum("_tok").alias("t")).orderBy("_pid").collect()
+    )  # one row per partition — driver-size safe
+    acc = 0
+    offsets = []
+    for row in totals:
+        offsets.append((row["_pid"], acc))
+        acc += int(row["t"])
+    offset_df = ranged.sparkSession.createDataFrame(
+        offsets, "_pid INT, _off BIGINT"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_hk", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("_cum", F.sum("_tok").over(w))
+        .join(F.broadcast(offset_df), "_pid")
+        .select(
+            "id",
+            (F.col("_off") + F.col("_cum") - F.col("_tok")).alias("start_offset"),
+            F.floor(
+                (F.col("_off") + F.col("_cum") - F.col("_tok"))
+                / F.lit(shard_tokens)
+            ).cast("bigint").alias("shard_id"),
+        )
+    )

@@ -181,6 +181,44 @@ class TestShuffleBudget:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS t_bucketed_edges")
 
+    def test_pack_shards_no_single_partition_window(self, spark):
+        """pack_shards' prefix sum must be the two-phase range-partitioned
+        form — a naive SUM() OVER (ORDER BY ...) serializes the corpus
+        through one reducer. The plan may contain range/hash exchanges but
+        never a SinglePartition one."""
+        from comm_detect_spark.operators.corpus import pack_shards
+
+        df = spark.range(5000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("tokens")
+        )
+        out = pack_shards(df, shard_tokens=1000)
+        plan = plan_of(out)
+        assert "SinglePartition" not in plan, plan
+        # sanity on the result itself: offsets strictly increase in the
+        # deterministic hash order and every shard respects the budget
+        rows = out.collect()
+        assert len(rows) == 5000
+        by_off = sorted(rows, key=lambda r: r["start_offset"])
+        assert by_off[0]["start_offset"] == 0
+        for r in by_off:
+            assert r["shard_id"] == r["start_offset"] // 1000
+
+    def test_decontaminate_benchmark_join_is_broadcast(self, spark):
+        """The benchmark side must broadcast (eval sets are MBs vs a TB
+        corpus) — a silent fallback to sort-merge would shuffle the full
+        exploded shingle table."""
+        from comm_detect_spark.operators.dedup import decontaminate
+
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("document text number "), F.col("id").cast("string"),
+                     F.lit(" with some shared words")).alias("text"),
+        )
+        bench = docs.where(F.col("doc_id") % 10 == 0).select("text")
+        plan = plan_of(decontaminate(docs, bench, n=3))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, plan
+
     def test_bucketed_output_join_no_exchange(self, spark, tmp_path):
         """sinks.write_bucketed contract (jobs/run_algorithm
         --output-buckets): an algorithm output registered as a vid-bucketed
