@@ -15,6 +15,15 @@ the compositions a 100 TB corpus run actually launches:
     ... --task ivf-index --docs /data/embeddings.parquet \
         --out /data/ivf --n-centroids 256
 
+    # benchmark decontamination report (id, hits, contaminated):
+    ... --task decontaminate --benchmark /data/evalset.parquet ...
+
+    # deterministic train/val(/test) assignment:
+    ... --task split --splits train:0.9,val:0.1 ...
+
+    # fixed-token training-shard assignment:
+    ... --task shards --shard-tokens 1000000 ...
+
 Outputs are parquet directories; `--out` is overwritten. Build the zip with
 `python scripts/package.py`.
 """
@@ -28,7 +37,9 @@ from pyspark.sql import SparkSession
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", required=True, choices=["dedup", "stats", "ivf-index"])
+    ap.add_argument("--task", required=True,
+                    choices=["dedup", "stats", "ivf-index", "decontaminate",
+                             "split", "shards"])
     ap.add_argument("--docs", required=True,
                     help="documents parquet (doc_id, text) or, for ivf-index, "
                          "embeddings parquet (vec_id, embedding)")
@@ -47,6 +58,16 @@ def main():
                     help="ivf-index quantizer training: driver-side hash "
                          "sample (deterministic, oracle-replayable) or "
                          "full-corpus distributed Lloyd iterations")
+    ap.add_argument("--benchmark",
+                    help="decontaminate: parquet of the held-out eval set "
+                         "(needs --text-col column)")
+    ap.add_argument("--ngram", type=int, default=8,
+                    help="decontaminate: shingle width")
+    ap.add_argument("--splits", default="train:0.9,val:0.1",
+                    help="split: name:fraction list, cumulative order")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--shard-tokens", type=int, default=1_000_000,
+                    help="shards: token budget per training shard")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"corpus-{args.task}").getOrCreate()
@@ -79,6 +100,38 @@ def main():
             quality_score(args.text_col).alias("quality"),
             lang_id(args.text_col).alias("lang"),
             fingerprint(args.text_col).alias("fingerprint"),
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.task == "decontaminate":
+        if not args.benchmark:
+            ap.error("--task decontaminate requires --benchmark")
+        from comm_detect_spark.operators.dedup import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        decontaminate(
+            docs, bench, id_col=args.id_col, text_col=args.text_col,
+            bench_text_col=args.text_col, n=args.ngram,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.task == "split":
+        from comm_detect_spark.operators.corpus import hash_split
+
+        fracs = tuple(
+            (part.split(":")[0], float(part.split(":")[1]))
+            for part in args.splits.split(",")
+        )
+        hash_split(
+            docs, id_col=args.id_col, fractions=fracs, seed=args.seed
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.task == "shards":
+        from comm_detect_spark.functions.text import token_count
+        from comm_detect_spark.operators.corpus import pack_shards
+        from pyspark.sql import functions as F
+
+        with_tokens = docs.select(
+            F.col(args.id_col).alias("doc_id"),
+            token_count(args.text_col).cast("bigint").alias("tokens"),
+        )
+        pack_shards(
+            with_tokens, shard_tokens=args.shard_tokens, seed=args.seed
         ).write.mode("overwrite").parquet(args.out)
     else:  # ivf-index
         from comm_detect_spark.operators.similarity import (

@@ -79,3 +79,60 @@ def test_lpa_sync_round1_equals_oracle_on_random_graphs(spark, g):
         lpa_sync(spark, edges_from_numpy(spark, n, s, d, w), n, max_iter=1), n
     )
     assert np.array_equal(got, want)
+
+
+@st.composite
+def doc_ids(draw):
+    ids = draw(
+        st.lists(st.integers(0, 10_000), min_size=2, max_size=40, unique=True)
+    )
+    return sorted(ids)
+
+
+@settings(**_SETTINGS)
+@given(ids=doc_ids())
+def test_hash_split_subset_invariance(spark, ids):
+    """hash_split's core contract as a PROPERTY: a document's split
+    depends only on (id, seed) — any subset of the corpus assigns every
+    surviving id identically (append/filter stability)."""
+    from comm_detect_spark.operators.corpus import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    sub = spark.createDataFrame([(i,) for i in ids[::2]], "doc_id BIGINT")
+    full = {r["id"]: r["split"] for r in hash_split(df).collect()}
+    part = {r["id"]: r["split"] for r in hash_split(sub).collect()}
+    assert all(full[i] == part[i] for i in part)
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=3,
+        max_size=12,
+    ),
+    extra=st.sampled_from(["prefix", "suffix", "none"]),
+)
+def test_decontaminate_containment_property(spark, words, extra):
+    """Any document that CONTAINS a benchmark document verbatim is flagged
+    (shingle containment is monotone); a document over a disjoint
+    vocabulary never is."""
+    from comm_detect_spark.operators.dedup import decontaminate
+
+    bench_text = " ".join(words)
+    doc_text = {
+        "prefix": "qqq www " + bench_text,
+        "suffix": bench_text + " rrr sss",
+        "none": bench_text,
+    }[extra]
+    docs = spark.createDataFrame(
+        [(0, doc_text), (1, "uno dos tres cuatro cinco seis siete")],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text STRING")
+    got = {
+        r["id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    assert got[0] is True
+    assert got[1] is False
