@@ -191,6 +191,39 @@ class TestLocalMoveParity:
         assert np.array_equal(cva, cvb)
         assert fired["nodes"] > n  # vector path carried the bulk
 
+    def test_movable_mask_equals_oracle_on_subset(self, monkeypatch):
+        """The freeze-sweep contract: sweeping with a movable mask equals
+        the oracle sweeping ONLY the movable nodes in ascending order
+        (frozen vertices keep their labels but stay visible as neighbors).
+        Pinned for BOTH walks — the compiled path never sees frozen nodes
+        because the row filter removes them before grouping, and that must
+        stay output-identical."""
+        from comm_detect_spark.operators import kernels
+        from comm_detect_spark.operators.kernels import movable_mask
+
+        adj = _random_graph(220, 1100, seed=13)
+        vol = volumes(adj)
+        w = adj.weight_net
+        mask = movable_mask(np.arange(adj.n, dtype=np.int64), sweep=3)
+        for force_python in (False, True):
+            if force_python:
+                monkeypatch.setattr(
+                    kernels._native, "local_move_walk", lambda: None
+                )
+            la = np.arange(adj.n, dtype=np.int64)
+            lb = la.copy()
+            cva = vol.copy()
+            cvb = vol.copy()
+            ma = local_move_sweep(
+                adj, la, vol, cva, w, nodes=np.flatnonzero(mask)
+            )
+            mb = kernels.local_move_sweep_fast(
+                adj, lb, vol, cvb, w, movable=mask
+            )
+            assert ma == mb
+            assert np.array_equal(la, lb)
+            assert np.array_equal(cva, cvb)
+
     def test_native_walk_parity(self, monkeypatch):
         """The compiled C walk (operators/_native.py) must be element-exact
         vs the pure-Python walk — same labels, same cv, same moved counts —
