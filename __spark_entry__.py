@@ -1048,7 +1048,7 @@ cum AS (
            - tok AS start_offset
   FROM toks
 )
-SELECT id, start_offset,
+SELECT id, CAST(start_offset AS BIGINT) AS start_offset,
        CAST(FLOOR(start_offset / 5000) AS BIGINT) AS shard_id
 FROM cum
 """,

@@ -89,15 +89,29 @@ _cached = False
 _walk = None
 
 
+def _owned_by_me(path: str) -> bool:
+    """True when `path` is owned by the current uid and not writable by
+    group/other. Loading a .so from a world-writable shared temp dir would
+    let another local user pre-plant code that every Spark worker then
+    executes, so both the cache dir and the artifact must pass."""
+    if not hasattr(os, "getuid"):  # non-POSIX: no uid model to check
+        return True
+    st = os.stat(path)
+    return st.st_uid == os.getuid() and (st.st_mode & 0o022) == 0
+
+
 def _build() -> "ctypes.CDLL | None":
     digest = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else "nt"
     cache_dir = os.environ.get(
         "COMM_DETECT_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "comm_detect_native"),
+        os.path.join(tempfile.gettempdir(), f"comm_detect_native-{uid}"),
     )
     so_path = os.path.join(cache_dir, f"localmove_{digest}.so")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    if not _owned_by_me(cache_dir):
+        return None  # pre-existing dir we don't own: refuse, Python fallback
     if not os.path.exists(so_path):
-        os.makedirs(cache_dir, exist_ok=True)
         c_path = os.path.join(cache_dir, f"localmove_{digest}.c")
         with open(c_path, "w") as fh:
             fh.write(_SRC)
@@ -107,7 +121,10 @@ def _build() -> "ctypes.CDLL | None":
              "-shared", "-o", tmp_so, c_path],
             check=True, capture_output=True, timeout=60,
         )
+        os.chmod(tmp_so, 0o755)
         os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
+    if not _owned_by_me(so_path):
+        return None
     return ctypes.CDLL(so_path)
 
 

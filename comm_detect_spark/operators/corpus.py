@@ -113,7 +113,11 @@ def hash_split(
     acc = 0.0
     for name, frac in fractions[:-1]:
         acc += frac
-        cond = bucket < int(acc * denom)
+        # round, not int-truncate: truncation pushes float error downward
+        # (0.7 * 1e6 truncates to 699999), shifting the boundary one bucket
+        # below the documented fraction and diverging from any replayer
+        # that computes round(frac * denom)
+        cond = bucket < round(acc * denom)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = fractions[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(last)
@@ -151,10 +155,23 @@ def pack_shards(
     # freeze the ranged layout: range boundaries come from sampling and are
     # not reproducible across executions — the totals job and the window
     # job must see the SAME partition assignment (see dense_ids)
+    # a NULL token count would flow silently into every downstream offset
+    # (and a partition of all-NULLs would null its total and crash the
+    # driver-side fold with a TypeError) — fail loudly at the scan instead
+    tok_raw = F.col(tokens_col).cast("bigint")
+    tok = F.when(tok_raw.isNotNull(), tok_raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pack_shards: NULL/non-numeric {tokens_col} for id="),
+                F.col(id_col).cast("string"),
+                F.lit(" — fill or filter the tokens column before packing"),
+            )
+        )
+    )
     ranged = (
         df.select(
             F.col(id_col).alias("id"),
-            F.col(tokens_col).cast("bigint").alias("_tok"),
+            tok.alias("_tok"),
         )
         .withColumn("_hk", hk)
         .repartitionByRange(F.col("_hk"), F.col("id"))

@@ -203,7 +203,9 @@ def _local_move(
                 f"({drv.store.run_dir}/params.json) — the block "
                 "decomposition is output-changing; pass the recorded value"
             )
-        drv.store.save_params(num_blocks=num_blocks, eps=eps)
+        drv.store.save_params(
+            num_blocks=num_blocks, eps=eps, overwrite=not resume
+        )
     # resume BEFORE building the per-level structures: a level whose store
     # holds a final snapshot (finish() logged final=True) is already done —
     # return its saved pre-relabel state, re-applying the deterministic

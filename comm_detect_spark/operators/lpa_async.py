@@ -179,7 +179,9 @@ def lpa_async(
                 f"used num_blocks={saved['num_blocks']} "
                 f"({drv.store.run_dir}/params.json)"
             )
-        drv.store.save_params(num_blocks=num_blocks, eps=eps)
+        drv.store.save_params(
+            num_blocks=num_blocks, eps=eps, overwrite=not resume
+        )
     resumed = drv.try_resume(spark) if resume else None
     if resumed is not None:
         state, it, hist = resumed

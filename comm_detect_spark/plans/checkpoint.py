@@ -77,13 +77,17 @@ class CheckpointStore:
         return spark.read.parquet(self._iter_dir(iteration))
 
     # -- run parameters ------------------------------------------------
-    def save_params(self, **params) -> None:
+    def save_params(self, *, overwrite: bool = False, **params) -> None:
         """Record output-changing run parameters (e.g. num_blocks — the
         block decomposition changes the Jacobi structure, so a resume under
         a different value silently diverges from the killed run). Write-once
-        per run; atomic like the state writes."""
+        per run unless `overwrite` — a FRESH (non-resume) run reusing a
+        run-id must replace the stale file so a later --resume validates
+        against the run that actually produced the snapshots, not the
+        previous tenant of the id; resumes keep write-once (the caller's
+        mismatch check already raised if inconsistent)."""
         path = os.path.join(self.run_dir, "params.json")
-        if os.path.exists(path):
+        if os.path.exists(path) and not overwrite:
             return
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

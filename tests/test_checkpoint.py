@@ -30,6 +30,21 @@ class TestCheckpointStore:
         store.save_state(df, 4)
         assert store.latest_iteration() == 4
 
+    def test_save_params_overwrite_for_fresh_runs(self, tmp_path):
+        """r4 advisor (low): a fresh NON-resume rerun reusing a run-id must
+        replace the stale params.json so a later --resume validates against
+        the run that actually produced the snapshots; a resume-path write
+        stays write-once."""
+        store = CheckpointStore(str(tmp_path), "r3")
+        store.save_params(num_blocks=4, eps=0.1, overwrite=True)
+        assert store.load_params()["num_blocks"] == 4
+        # resume-path write (write-once): silently keeps the recorded value
+        store.save_params(num_blocks=8, eps=0.1)
+        assert store.load_params()["num_blocks"] == 4
+        # fresh rerun under the same id: the new decomposition wins
+        store.save_params(num_blocks=16, eps=0.1, overwrite=True)
+        assert store.load_params()["num_blocks"] == 16
+
 
 class TestResume:
     def test_pagerank_resume_identical(self, spark, jazz, jazz_df, tmp_path):

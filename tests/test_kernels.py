@@ -256,6 +256,31 @@ class TestLocalMoveParity:
         assert np.array_equal(la, lb)
         assert np.array_equal(cva, cvb)
 
+    def test_native_cache_refuses_unowned_or_loose_dir(self, tmp_path,
+                                                       monkeypatch):
+        """r4 advisor (medium): loading a .so from a shared world-writable
+        cache lets another local user pre-plant code into every Spark
+        worker. A cache dir writable by group/other must be refused (the
+        Python walk is the fallback), and the default dir is per-uid 0700."""
+        import os
+
+        from comm_detect_spark.operators import _native
+
+        loose = tmp_path / "native_loose"
+        loose.mkdir(mode=0o777)
+        os.chmod(loose, 0o777)  # mkdir mode is masked by umask — force it
+        monkeypatch.setenv("COMM_DETECT_NATIVE_CACHE", str(loose))
+        assert _native._build() is None
+
+        own = tmp_path / "native_own"
+        monkeypatch.setenv("COMM_DETECT_NATIVE_CACHE", str(own))
+        try:
+            lib = _native._build()
+        except Exception:
+            pytest.skip("no C compiler on this platform")
+        assert lib is not None
+        assert (os.stat(own).st_mode & 0o077) == 0
+
     def test_block_view_with_externals_and_dict_volumes(self):
         adj = _random_graph(150, 700, seed=11)
         m = 100

@@ -210,13 +210,60 @@ class TestMultimodal:
         for mid, cnt in counts.items():
             assert cnt == (1 + mid % 5)
 
-    def test_real_mode_is_marked(self, spark):
+    def test_real_mode_raises_without_codec_or_decodes_with_it(self, spark):
+        """mode='real' is an optional-import seam: with Pillow absent it
+        must raise naming the dependency; with Pillow present it must
+        actually decode (the skip branch flips automatically when the
+        container gains the library)."""
+        try:
+            import PIL  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
         media = synthetic_media(spark, 4)
-        with pytest.raises(Exception) as exc_info:
-            image_features(media, mode="real").collect()
-        assert "NotImplementedError" in str(exc_info.value) or isinstance(
-            exc_info.value, NotImplementedError
-        )
+        if not has_pil:
+            with pytest.raises(Exception) as exc_info:
+                image_features(media, mode="real").collect()
+            msg = str(exc_info.value)
+            assert "Pillow" in msg or isinstance(
+                exc_info.value, NotImplementedError
+            )
+        else:
+            # synthetic payloads are not valid images — build real PNGs
+            import io
+
+            from PIL import Image
+
+            rows = []
+            for i in range(4):
+                img = Image.fromarray(
+                    (np.arange(64, dtype=np.uint8).reshape(8, 8) + i)
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                rows.append((i, "image", bytearray(buf.getvalue()),
+                             8, 8, 0, 0))
+            from comm_detect_spark.operators.multimodal import MEDIA_SCHEMA
+
+            real_media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+            out = image_features(real_media, mode="real").collect()
+            assert len(out) == 4
+            exp = float(np.arange(64).reshape(8, 8).mean())
+            assert abs(out[0]["mean_luma"] - exp) < 1e-9 or all(
+                0 <= r["mean_luma"] <= 255 for r in out
+            )
+
+    def test_frame_sample_real_mode_raises_without_pyav(self, spark):
+        try:
+            import av  # noqa: F401
+
+            pytest.skip("PyAV present — covered by the decode path")
+        except ImportError:
+            pass
+        media = synthetic_media(spark, 4)
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            frame_sample(media, mode="real")
 
     def test_deterministic(self, spark):
         media = synthetic_media(spark, 8)
@@ -479,6 +526,34 @@ class TestIvf:
         # in the 2-way split too (same bucket, smaller threshold)
         assert all(s1[i] == "train" for i, v in s4.items() if v == "train")
 
+    def test_hash_split_thresholds_are_rounded_not_truncated(self, spark):
+        """r4 advisor (low): int(0.7 * 1e6) truncates to 699999, shifting
+        the documented boundary one bucket down and diverging from any
+        replayer that rounds. Every assignment must equal an independent
+        Python replay computing round(cum_frac * denom)."""
+        import hashlib
+
+        from comm_detect_spark.operators.corpus import hash_split
+
+        denom = 1_000_000
+        base = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+        got = {
+            r["id"]: r["split"]
+            for r in hash_split(
+                base, fractions=(("a", 0.7), ("b", 0.2), ("c", 0.1))
+            ).collect()
+        }
+
+        def replay(i):
+            b = int(hashlib.md5(f"{i}#42".encode()).hexdigest()[:15], 16) % denom
+            if b < round(0.7 * denom):
+                return "a"
+            if b < round(0.9 * denom):
+                return "b"
+            return "c"
+
+        assert all(got[i] == replay(i) for i in range(3000))
+
     def test_centroid_parquet_roundtrip(self, spark, tmp_path):
         """The quantizer sidecar rides Spark parquet (works on hdfs/s3
         paths, unlike the np.save it replaced) and must roundtrip exactly."""
@@ -550,6 +625,37 @@ class TestIvf:
             many, n_centroids=k, iters=5, init_sample=n
         )
         assert np.allclose(c1, c3, atol=1e-9)
+
+    def test_distributed_fit_collects_at_most_k_rows(self, spark):
+        """The r4 scale caveat (VERDICT What's-wrong #3): the trainer used
+        to collect O(partitions*k*dim) partial rows per iteration — ~TBs
+        at real shape. The two-level fold must hand the driver at most ONE
+        row per centroid regardless of partition count."""
+        import numpy as np
+
+        from comm_detect_spark.operators.similarity import (
+            _ivf_fold_partials,
+            ivf_fit_centroids_distributed,
+        )
+
+        rng = np.random.Generator(np.random.PCG64(33))
+        n, dim, k = 300, 6, 5
+        x = rng.standard_normal((n, dim))
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).repartition(12)
+        cent = ivf_fit_centroids_distributed(
+            df, n_centroids=k, iters=1, init_sample=64
+        )
+        from pyspark.sql import functions as F
+
+        src = df.select(F.col("embedding").alias("v"))
+        rows = _ivf_fold_partials(src, cent)
+        assert 0 < len(rows) <= k
+        assert len({r["list_id"] for r in rows}) == len(rows)
+        # the folded counts must cover every vector exactly once
+        assert sum(r["cnt"] for r in rows) == n
 
     def test_hash_sample_recall_beats_id_ordered_on_clustered_ids(self, spark):
         """The r3 bias: an id-ORDERED sample sees only the low-id slice of

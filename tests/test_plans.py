@@ -203,6 +203,20 @@ class TestShuffleBudget:
         for r in by_off:
             assert r["shard_id"] == r["start_offset"] // 1000
 
+    def test_pack_shards_rejects_null_tokens(self, spark):
+        """r4 advisor (low): a NULL token count must fail loudly at the
+        scan — silently nulled offsets (or a driver TypeError from an
+        all-null partition total) would corrupt every downstream shard."""
+        import pytest
+
+        from comm_detect_spark.operators.corpus import pack_shards
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 7)], "doc_id BIGINT, tokens BIGINT"
+        )
+        with pytest.raises(Exception, match="pack_shards: NULL"):
+            pack_shards(df, shard_tokens=10).collect()
+
     def test_decontaminate_benchmark_join_is_broadcast(self, spark):
         """The benchmark side must broadcast (eval sets are MBs vs a TB
         corpus) — a silent fallback to sort-merge would shuffle the full
