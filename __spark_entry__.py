@@ -462,6 +462,59 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_kcore38(spark, sf_dir):
+    # k=38 bites at the driver's sf0.01 gate (t-graph degrees 26..56 there,
+    # so the peel cascades); at sf0.001 the whole sparse graph peels away —
+    # still an exact cross-engine comparison, just a degenerate partition
+    from comm_detect_spark.operators.kcore import k_core
+
+    return k_core(spark, _t_edges(spark, sf_dir), k=38)
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    from comm_detect_spark.operators.kcore import local_clustering
+
+    return local_clustering(_t_edges(spark, sf_dir))
+
+
+def _q_degree_hist(spark, sf_dir):
+    # degree histogram of the simple undirected g_sym graph — the first
+    # thing anyone plots about a web graph; one agg + one re-agg
+    sym = _g_sym(spark, sf_dir)
+    simple = (
+        sym.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("x"),
+            F.greatest("src", "dst").alias("y"),
+        )
+        .distinct()
+    )
+    deg = (
+        simple.select(F.explode(F.array("x", "y")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def _q_wordcount_top20(spark, sf_dir):
+    # corpus-level term frequency top-k: the canonical first MapReduce job,
+    # here one explode + one partial-agg'd groupBy + TakeOrdered; ties at
+    # the boundary break on (count desc, token asc) so the result is total
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        )
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_volumes": _q_graph_volumes,
@@ -491,6 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_full": _q_cc_full,
         "louvain_communities": _q_louvain,
         "louvain_sweep1": _q_louvain_sweep1,
+        "kcore_38": _q_kcore38,
+        "clustering_coeff": _q_clustering_coeff,
+        "degree_hist": _q_degree_hist,
+        "wordcount_top20": _q_wordcount_top20,
     }
 
 
@@ -598,6 +655,49 @@ def _louvain_sweep1_oracle_values_sql(sf_dir: str) -> str:
     vol = volumes(adj)
     local_move_sweep(adj, labels, vol, vol.copy(), adj.weight_net)
     return _labels_values_sql(labels)
+
+
+def _t_adjacency(sf_dir: str):
+    """The t-graph (same derivation as _SQL_T), built DuckDB-side."""
+    import duckdb
+
+    from comm_detect_spark.oracle.algorithms import Adjacency
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+WITH t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst, COUNT(*) AS weight
+  FROM read_parquet('{sf_dir}/lineitem.parquet')
+  WHERE l_linenumber = 1 GROUP BY 1, 2
+)
+SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS weight FROM (
+  SELECT src, dst, weight FROM t_dir
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM t_dir
+) GROUP BY src, dst
+"""
+    ).fetchnumpy()
+    src, dst, w = got["src"], got["dst"], got["weight"]
+    n = int(max(src.max(), dst.max())) + 1
+    return Adjacency.from_entries(n, src, dst, w)
+
+
+def _kcore_oracle_values_sql(sf_dir: str, k: int) -> str:
+    """Generate the kcore oracle: derive the SAME t-graph DuckDB-side, run
+    the independent NumPy peel, emit VALUES (exact per-vertex membership).
+    Iterative peeling is a fixpoint, not a monotone recursion — a
+    recursive CTE can only append rows, so VALUES is the honest oracle."""
+    from comm_detect_spark.oracle.algorithms import k_core as k_core_np
+
+    vids, in_core = k_core_np(_t_adjacency(sf_dir), k)
+    rows = ",".join(
+        f"({int(v)},{str(bool(b)).upper()})" for v, b in zip(vids, in_core)
+    )
+    return (
+        "SELECT CAST(vid AS BIGINT) AS vid, in_core "
+        f"FROM (VALUES {rows}) AS t(vid, in_core)"
+    )
 
 
 def _ann_pairs_oracle_sql(
@@ -792,6 +892,57 @@ SELECT COUNT(*) AS triangles
 FROM simple e1
 JOIN simple e2 ON e1.b = e2.a
 JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+        "clustering_coeff": f"""
+WITH {_SQL_T},
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM t_sym WHERE src <> dst
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM simple e1
+  JOIN simple e2 ON e1.b = e2.a
+  JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS vid FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+),
+tcount AS (SELECT vid, COUNT(*) AS tri FROM corners GROUP BY vid),
+deg AS (
+  SELECT vid, COUNT(*) AS deg FROM (
+    SELECT a AS vid FROM simple UNION ALL SELECT b FROM simple
+  ) GROUP BY vid
+)
+SELECT d.vid,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tcount t USING (vid)
+""",
+        "degree_hist": f"""
+WITH {_SQL_G},
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM g_sym WHERE src <> dst
+),
+deg AS (
+  SELECT vid, COUNT(*) AS deg FROM (
+    SELECT a AS vid FROM simple UNION ALL SELECT b FROM simple
+  ) GROUP BY vid
+)
+SELECT deg, COUNT(*) AS n_vertices FROM deg GROUP BY deg
+""",
+        "wordcount_top20": """
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n FROM toks
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20
 """,
         "coarsen_mod10": f"""
 WITH {_SQL_G}
@@ -1120,6 +1271,7 @@ FROM clusters c JOIN quality q USING (id)
         out["louvain_communities"] = _louvain_oracle_values_sql(_oracle_sf_dir())
         out["louvain_sweep1"] = _louvain_sweep1_oracle_values_sql(_oracle_sf_dir())
         out["embedding_ivf_top5"] = _ivf_top5_oracle_sql(_oracle_sf_dir())
+        out["kcore_38"] = _kcore_oracle_values_sql(_oracle_sf_dir(), 38)
     return out
 
 

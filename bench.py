@@ -167,6 +167,11 @@ def main() -> None:
         "decontaminate",
         "hash_split",
         "pack_shards",
+        # round-5 profiling surface
+        "kcore_38",
+        "clustering_coeff",
+        "degree_hist",
+        "wordcount_top20",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

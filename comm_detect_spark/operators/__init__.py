@@ -17,6 +17,10 @@ from comm_detect_spark.operators.dedup import (  # noqa: F401
     simhash,
     simhash_pairs,
 )
+from comm_detect_spark.operators.kcore import (  # noqa: F401
+    k_core,
+    local_clustering,
+)
 from comm_detect_spark.operators.pagerank import pagerank  # noqa: F401
 from comm_detect_spark.operators.similarity import (  # noqa: F401
     ann_pairs,

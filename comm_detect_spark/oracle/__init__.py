@@ -11,6 +11,7 @@ from comm_detect_spark.oracle.algorithms import (  # noqa: F401
     Adjacency,
     canonical_labels,
     connected_components,
+    k_core,
     local_move_sweep,
     louvain,
     lpa_async,

@@ -436,3 +436,31 @@ def triangle_counts(adj: Adjacency) -> tuple[np.ndarray, int]:
             per[z] += 1
             total += 1
     return per, total
+
+
+def k_core(adj: Adjacency, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k-core membership on the simple undirected graph (self-loops and
+    weights ignored, parallel entries deduped — the same semantics as
+    operators/kcore.py). Returns (vids, in_core) over the vertices that
+    appear in at least one simple edge."""
+    src = np.repeat(np.arange(adj.n, dtype=np.int64), np.diff(adj.indptr))
+    mask = src != adj.indices
+    a = np.minimum(src[mask], adj.indices[mask])
+    b = np.maximum(src[mask], adj.indices[mask])
+    key = a * adj.n + b
+    uniq = np.unique(key)
+    ea, eb = uniq // adj.n, uniq % adj.n
+    present = np.unique(np.concatenate([ea, eb]))
+    alive_e = np.ones(ea.size, dtype=bool)
+    alive_v = np.zeros(adj.n, dtype=bool)
+    alive_v[present] = True
+    while True:
+        deg = np.bincount(ea[alive_e], minlength=adj.n) + np.bincount(
+            eb[alive_e], minlength=adj.n
+        )
+        peel = alive_v & (deg < k)
+        if not peel.any():
+            break
+        alive_v &= ~peel
+        alive_e &= alive_v[ea] & alive_v[eb]
+    return present, alive_v[present]

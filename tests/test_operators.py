@@ -152,3 +152,89 @@ class TestTriangles:
         n, s, d, w = oracle.ring_of_cliques(k=4, c=8)
         e = edges_from_numpy(spark, n, s, d, w)
         assert triangle_total(e) == 4 * (8 * 7 * 6 // 6)
+
+
+class TestKCore:
+    def test_cascade_peel(self, spark):
+        """A 4-clique with a pendant path: the path peels vertex by vertex
+        (cascade — one round is NOT enough), the clique survives k=3."""
+        # clique 0-1-2-3; path 3-4-5-6
+        s = np.array([0, 0, 0, 1, 1, 2, 3, 4, 5], dtype=np.int64)
+        d = np.array([1, 2, 3, 2, 3, 3, 4, 5, 6], dtype=np.int64)
+        ss = np.concatenate([s, d])
+        dd = np.concatenate([d, s])
+        w = np.ones(ss.size, dtype=np.int64)
+        e = edges_from_numpy(spark, 7, ss, dd, w)
+        from comm_detect_spark.operators import k_core
+
+        got = {r["vid"]: r["in_core"] for r in k_core(spark, e, k=3).collect()}
+        assert got == {0: True, 1: True, 2: True, 3: True,
+                       4: False, 5: False, 6: False}
+
+    def test_matches_numpy_oracle_on_jazz(self, spark, jazz, jazz_df):
+        from comm_detect_spark.operators import k_core
+
+        n, s, d, w = jazz
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        for k in (2, 10, 25):
+            vids, in_core = oracle.k_core(adj, k)
+            want = dict(zip(vids.tolist(), in_core.tolist()))
+            got = {
+                r["vid"]: r["in_core"]
+                for r in k_core(spark, jazz_df, k=k).collect()
+            }
+            assert got == want, f"k={k}"
+
+    def test_k1_keeps_every_edge_vertex(self, spark, jazz_df):
+        from comm_detect_spark.operators import k_core
+
+        rows = k_core(spark, jazz_df, k=1).collect()
+        assert all(r["in_core"] for r in rows)
+
+    def test_bad_k_raises(self, spark, jazz_df):
+        from comm_detect_spark.operators import k_core
+
+        with pytest.raises(ValueError):
+            k_core(spark, jazz_df, k=0)
+
+
+class TestLocalClustering:
+    def test_planted_values(self, spark):
+        """Triangle 0-1-2 plus pendant 2-3: coeff 1.0 on the triangle's
+        degree-2 corners, 1/3 at the junction, 0.0 at the pendant."""
+        s = np.array([0, 0, 1, 2], dtype=np.int64)
+        d = np.array([1, 2, 2, 3], dtype=np.int64)
+        ss = np.concatenate([s, d])
+        dd = np.concatenate([d, s])
+        w = np.ones(ss.size, dtype=np.int64)
+        e = edges_from_numpy(spark, 4, ss, dd, w)
+        from comm_detect_spark.operators import local_clustering
+
+        got = {r["vid"]: r["coeff"] for r in local_clustering(e).collect()}
+        assert got == {0: 1.0, 1: 1.0, 2: pytest.approx(1 / 3, abs=1e-6),
+                       3: 0.0}
+
+    def test_matches_oracle_on_jazz(self, spark, jazz, jazz_df):
+        from comm_detect_spark.operators import local_clustering
+
+        n, s, d, w = jazz
+        adj = oracle.Adjacency.from_entries(n, s, d, w)
+        per, _ = oracle.triangle_counts(adj)
+        src = np.repeat(np.arange(n, dtype=np.int64), np.diff(adj.indptr))
+        mask = src != adj.indices
+        a = np.minimum(src[mask], adj.indices[mask])
+        b = np.maximum(src[mask], adj.indices[mask])
+        uniq = np.unique(a * n + b)
+        deg = np.bincount(uniq // n, minlength=n) + np.bincount(
+            uniq % n, minlength=n
+        )
+        got = {r["vid"]: r["coeff"] for r in local_clustering(jazz_df).collect()}
+        for v in range(n):
+            if deg[v] == 0:
+                assert v not in got
+                continue
+            want = (
+                round(2.0 * per[v] / (deg[v] * (deg[v] - 1)), 6)
+                if deg[v] >= 2 else 0.0
+            )
+            assert got[v] == pytest.approx(want, abs=1e-9), v
