@@ -462,6 +462,41 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_ppr_iter1(spark, sf_dir):
+    # personalized PageRank, one iteration, seeds = every 100th vertex of
+    # the graph's endpoint set (deterministic, SQL-replayable seed rule)
+    from comm_detect_spark.operators.pagerank import personalized_pagerank
+
+    edges = _g_directed(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vid") % 100 == 0)
+    r = personalized_pagerank(
+        spark, edges, seeds, vertices=verts, iterations=1
+    )
+    return r.select("vid", F.round("rank", 9).alias("rank"))
+
+
+def _q_hits_iter1(spark, sf_dir):
+    from comm_detect_spark.operators.hits import hits
+
+    edges = _g_directed(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    r = hits(spark, edges, vertices=verts, iterations=1)
+    return r.select(
+        "vid",
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def _q_kcore38(spark, sf_dir):
     # k=38 bites at the driver's sf0.01 gate (t-graph degrees 26..56 there,
     # so the peel cascades); at sf0.001 the whole sparse graph peels away —
@@ -548,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering_coeff,
         "degree_hist": _q_degree_hist,
         "wordcount_top20": _q_wordcount_top20,
+        "ppr_iter1": _q_ppr_iter1,
+        "hits_iter1": _q_hits_iter1,
     }
 
 
@@ -871,6 +908,72 @@ SELECT v.vid,
 FROM pr_verts v
 CROSS JOIN nv CROSS JOIN dang
 LEFT JOIN contrib c ON v.vid = c.vid
+""",
+        "ppr_iter1": f"""
+WITH {_SQL_G},
+pr_verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM g_dir UNION ALL SELECT dst FROM g_dir
+    UNION ALL SELECT vid FROM g_verts
+  )
+),
+ns AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM pr_verts WHERE vid % 100 = 0
+),
+resetv AS (
+  SELECT v.vid,
+         CASE WHEN v.vid % 100 = 0 THEN 1.0 / ns.s ELSE 0.0 END AS reset
+  FROM pr_verts v CROSS JOIN ns
+),
+wout AS (SELECT src, SUM(weight) AS wout FROM g_dir GROUP BY src),
+r0 AS (SELECT vid, reset AS rank FROM resetv),
+dang AS (
+  SELECT COALESCE(SUM(r0.rank), 0) AS dm
+  FROM r0 LEFT JOIN wout ON r0.vid = wout.src WHERE wout.src IS NULL
+),
+contrib AS (
+  SELECT g.dst AS vid, SUM(r0.rank * (g.weight / wout.wout)) AS s
+  FROM g_dir g JOIN r0 ON g.src = r0.vid JOIN wout ON g.src = wout.src
+  GROUP BY g.dst
+)
+SELECT v.vid,
+       ROUND((1.0 - 0.85) * v.reset
+             + 0.85 * (COALESCE(c.s, 0) + dang.dm * v.reset), 9) AS rank
+FROM resetv v
+CROSS JOIN dang
+LEFT JOIN contrib c ON v.vid = c.vid
+""",
+        "hits_iter1": f"""
+WITH {_SQL_G},
+pr_verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM g_dir UNION ALL SELECT dst FROM g_dir
+    UNION ALL SELECT vid FROM g_verts
+  )
+),
+a_raw AS (SELECT dst AS vid, SUM(1.0 * weight) AS a FROM g_dir GROUP BY dst),
+a_full AS (
+  SELECT v.vid, COALESCE(r.a, 0) AS a
+  FROM pr_verts v LEFT JOIN a_raw r USING (vid)
+),
+na AS (SELECT SQRT(SUM(a * a)) AS na FROM a_full),
+auth AS (
+  SELECT vid, CASE WHEN na.na > 0 THEN a / na.na ELSE 0.0 END AS auth
+  FROM a_full CROSS JOIN na
+),
+h_raw AS (
+  SELECT g.src AS vid, SUM(auth.auth * g.weight) AS h
+  FROM g_dir g JOIN auth ON g.dst = auth.vid GROUP BY g.src
+),
+h_full AS (
+  SELECT v.vid, COALESCE(r.h, 0) AS h
+  FROM pr_verts v LEFT JOIN h_raw r USING (vid)
+),
+nh AS (SELECT SQRT(SUM(h * h)) AS nh FROM h_full)
+SELECT h.vid,
+       ROUND(CASE WHEN nh.nh > 0 THEN h.h / nh.nh ELSE 0.0 END, 6) AS hub,
+       ROUND(a.auth, 6) AS auth
+FROM h_full h CROSS JOIN nh JOIN auth a ON a.vid = h.vid
 """,
         "cc_round1": f"""
 WITH {_SQL_G},

@@ -172,6 +172,8 @@ def main() -> None:
         "clustering_coeff",
         "degree_hist",
         "wordcount_top20",
+        "ppr_iter1",
+        "hits_iter1",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -21,7 +21,11 @@ from comm_detect_spark.operators.kcore import (  # noqa: F401
     k_core,
     local_clustering,
 )
-from comm_detect_spark.operators.pagerank import pagerank  # noqa: F401
+from comm_detect_spark.operators.hits import hits  # noqa: F401
+from comm_detect_spark.operators.pagerank import (  # noqa: F401
+    pagerank,
+    personalized_pagerank,
+)
 from comm_detect_spark.operators.similarity import (  # noqa: F401
     ann_pairs,
     brute_force_topk,

@@ -194,3 +194,104 @@ def pagerank(
     dangling.unpersist()
     verts.unpersist()
     return out
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n: int | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+    driver: IterationDriver | None = None,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport and dangling mass land on the seed
+    set S (reset vector p = 1/|S| on seeds, 0 elsewhere) instead of
+    uniformly — the random-walk-with-restart relevance measure:
+
+        r' = (1-d) * p + d * (scatter + dangling_mass * p),   r0 = p
+
+    Plan shape is the same as pagerank() (ONE edge-sized exchange per
+    iteration): the reset column is joined into the cached vertex table
+    ONCE via a broadcast of the seed set (seed sets are small — a user's
+    trust set, a topic whitelist — vs a TB edge table), so per iteration
+    nothing new shuffles. Matches oracle.personalized_pagerank to 1e-6.
+    """
+    drv = driver or IterationDriver()
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if vertices is not None:
+        verts = vertices.select("vid").distinct().repartition(p, "vid").persist()
+        n = verts.count()
+    else:
+        assert n is not None
+        verts = vertex_range(spark, n).repartition(p, "vid").persist()
+    seed_df = seeds.select("vid").distinct().persist()
+    n_seeds = seed_df.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    vreset = (
+        verts.join(
+            F.broadcast(seed_df.withColumn("_s", F.lit(1.0))), "vid", "left"
+        )
+        .select(
+            "vid",
+            (F.coalesce(F.col("_s"), F.lit(0.0)) / F.lit(float(n_seeds))).alias(
+                "reset"
+            ),
+        )
+        .repartition(p, "vid")
+        .persist()
+    )
+    vreset.count()
+
+    wout = out_weights(edges)
+    edges_prep = (
+        edges.join(wout, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
+        .repartition(p, "src")
+        .persist()
+    )
+    edges_prep.count()
+    dangling = verts.join(
+        edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+    ).persist()
+    has_dangling = dangling.count() > 0
+
+    ranks = drv.start(vreset.select("vid", F.col("reset").alias("rank")))
+    it = 0
+    for it in range(1, iterations + 1):
+        if has_dangling:
+            dm_df = ranks.join(dangling, "vid", "semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+        else:
+            dm_df = spark.createDataFrame([(0.0,)], "dm DOUBLE")
+        contribs = edges_prep.join(
+            ranks.withColumnRenamed("vid", "src"), "src"
+        ).select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
+        summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        new_ranks = (
+            vreset.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "vid",
+                (
+                    F.lit(1.0 - damping) * F.col("reset")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") * F.col("reset")
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = drv.step(new_ranks, it)
+    out = drv.finish(it)
+    edges_prep.unpersist()
+    dangling.unpersist()
+    vreset.unpersist()
+    seed_df.unpersist()
+    verts.unpersist()
+    return out

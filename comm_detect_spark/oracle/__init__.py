@@ -11,6 +11,7 @@ from comm_detect_spark.oracle.algorithms import (  # noqa: F401
     Adjacency,
     canonical_labels,
     connected_components,
+    hits,
     k_core,
     local_move_sweep,
     louvain,
@@ -20,6 +21,7 @@ from comm_detect_spark.oracle.algorithms import (  # noqa: F401
     modularity,
     modularity_difference,
     pagerank,
+    personalized_pagerank,
     triangle_counts,
     volumes,
 )

@@ -464,3 +464,66 @@ def k_core(adj: Adjacency, k: int) -> tuple[np.ndarray, np.ndarray]:
         alive_v &= ~peel
         alive_e &= alive_v[ea] & alive_v[eb]
     return present, alive_v[present]
+
+
+def personalized_pagerank(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds,
+    weight: np.ndarray | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> np.ndarray:
+    """Random walk with restart: teleport and dangling mass land on the
+    seed set (p = 1/|S| on seeds); r0 = p. Twin of
+    operators/pagerank.py::personalized_pagerank."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if weight is None:
+        weight = np.ones_like(src, dtype=np.float64)
+    weight = np.asarray(weight, dtype=np.float64)
+    seeds = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    if seeds.size == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    reset = np.zeros(n, dtype=np.float64)
+    reset[seeds] = 1.0 / seeds.size
+    wout = np.zeros(n, dtype=np.float64)
+    np.add.at(wout, src, weight)
+    dangling = wout == 0
+    frac = weight / wout[src]
+    r = reset.copy()
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, r[src] * frac)
+        dm = r[dangling].sum()
+        r = (1.0 - damping) * reset + damping * (contrib + dm * reset)
+    return r
+
+
+def hits(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray | None = None,
+    iterations: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Kleinberg HITS with L2 normalization after each half-step; returns
+    (hub, auth). Twin of operators/hits.py."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if weight is None:
+        weight = np.ones_like(src, dtype=np.float64)
+    weight = np.asarray(weight, dtype=np.float64)
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.ones(n, dtype=np.float64)
+    for _ in range(iterations):
+        a = np.zeros(n, dtype=np.float64)
+        np.add.at(a, dst, hub[src] * weight)
+        na = np.sqrt((a * a).sum())
+        auth = a / na if na > 0 else a
+        h = np.zeros(n, dtype=np.float64)
+        np.add.at(h, src, auth[dst] * weight)
+        nh = np.sqrt((h * h).sum())
+        hub = h / nh if nh > 0 else h
+    return hub, auth

@@ -83,6 +83,42 @@ def streaming_exact_dedup(
     )
 
 
+def wordcount_windowed_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the ``wordcount_top20`` batch profile: per-window
+    token frequencies over a document stream. Explode is stateless; the
+    only state is the watermarked (window, token) aggregation, so state
+    size is bounded by (vocabulary within horizon) x (open windows) and
+    windows finalize for append sinks once the watermark passes. The
+    top-k cut is NOT applied here — a global top-k over a stream needs a
+    complete-mode sink; the scalable contract is to emit finalized
+    per-window counts and let the consumer rank them (the same reason
+    pack_shards keeps its window out of the streaming surface)."""
+    toks = docs.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    return (
+        toks.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "window_epoch"
+            ),
+            "token",
+            "n",
+        )
+    )
+
+
 def streaming_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

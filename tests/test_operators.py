@@ -238,3 +238,75 @@ class TestLocalClustering:
                 if deg[v] >= 2 else 0.0
             )
             assert got[v] == pytest.approx(want, abs=1e-9), v
+
+
+class TestPersonalizedPageRank:
+    def test_matches_oracle_on_jazz(self, spark, jazz, jazz_df):
+        from comm_detect_spark.operators import personalized_pagerank
+
+        n, s, d, w = jazz
+        want = oracle.personalized_pagerank(
+            n, s, d, seeds=[0, 5, 17], weight=w.astype(float), iterations=8
+        )
+        seeds = spark.createDataFrame([(0,), (5,), (17,)], "vid BIGINT")
+        got = to_vec(
+            personalized_pagerank(spark, jazz_df, seeds, n=n, iterations=8),
+            n, val="rank", dtype=np.float64,
+        )
+        assert np.allclose(got, want, atol=1e-6)
+
+    def test_mass_concentrates_on_seed_component(self, spark):
+        """Two disconnected triangles; seeding one must leave the other at
+        exactly zero (teleport never reaches it)."""
+        s = np.array([0, 1, 2, 3, 4, 5], dtype=np.int64)
+        d = np.array([1, 2, 0, 4, 5, 3], dtype=np.int64)
+        w = np.ones(6, dtype=np.int64)
+        e = edges_from_numpy(spark, 6, s, d, w)
+        from comm_detect_spark.operators import personalized_pagerank
+
+        seeds = spark.createDataFrame([(0,)], "vid BIGINT")
+        r = to_vec(
+            personalized_pagerank(spark, e, seeds, n=6, iterations=10),
+            6, val="rank", dtype=np.float64,
+        )
+        assert r[:3].sum() > 0.999
+        assert np.all(r[3:] == 0.0)
+
+    def test_empty_seed_set_raises(self, spark, jazz_df):
+        from comm_detect_spark.operators import personalized_pagerank
+
+        seeds = spark.createDataFrame([], "vid BIGINT")
+        with pytest.raises(ValueError):
+            personalized_pagerank(spark, jazz_df, seeds, n=10)
+
+
+class TestHits:
+    def test_matches_oracle_on_jazz(self, spark, jazz, jazz_df):
+        from comm_detect_spark.operators import hits as hits_spark
+
+        n, s, d, w = jazz
+        hub, auth = oracle.hits(n, s, d, weight=w.astype(float), iterations=5)
+        out = hits_spark(spark, jazz_df, n=n, iterations=5)
+        got_h = to_vec(out.select("vid", "hub"), n, val="hub",
+                       dtype=np.float64)
+        got_a = to_vec(out.select("vid", "auth"), n, val="auth",
+                       dtype=np.float64)
+        assert np.allclose(got_h, hub, atol=1e-6)
+        assert np.allclose(got_a, auth, atol=1e-6)
+
+    def test_star_hub_authority_split(self, spark):
+        """Directed star 0 -> {1,2,3}: vertex 0 is the only hub, the leaves
+        are the (equal) authorities."""
+        s = np.array([0, 0, 0], dtype=np.int64)
+        d = np.array([1, 2, 3], dtype=np.int64)
+        w = np.ones(3, dtype=np.int64)
+        e = edges_from_numpy(spark, 4, s, d, w)
+        from comm_detect_spark.operators import hits as hits_spark
+
+        out = {r["vid"]: (r["hub"], r["auth"])
+               for r in hits_spark(spark, e, n=4, iterations=3).collect()}
+        assert out[0][0] == pytest.approx(1.0, abs=1e-9)
+        assert out[0][1] == 0.0
+        for v in (1, 2, 3):
+            assert out[v][0] == 0.0
+            assert out[v][1] == pytest.approx(1 / np.sqrt(3), abs=1e-9)

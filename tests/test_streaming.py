@@ -114,3 +114,60 @@ class TestStreamingDecontaminate:
             if r["contaminated"]
         }
         assert got == want and len(got) > 0
+
+
+class TestWordcountWindowedStream:
+    def test_matches_batch_counts(self, spark, tmp_path):
+        """Stream (complete mode, availableNow) == the batch per-window
+        token counts over the same documents-with-timestamps source."""
+        from comm_detect_spark.streaming.pipeline import (
+            wordcount_windowed_stream,
+        )
+
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .limit(80)
+            .select(
+                "doc_id",
+                "text",
+                F.timestamp_seconds(
+                    F.lit(1700000000) + (F.col("doc_id") % 7) * 1800
+                ).alias("ingest_ts"),
+            )
+        )
+        src_dir = str(tmp_path / "docs_ts")
+        docs.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        _run_stream(
+            wordcount_windowed_stream(stream), "wc_windowed", "complete"
+        )
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM wc_windowed").collect())
+        )
+        batch = spark.read.parquet(src_dir)
+        want = sorted(
+            map(
+                tuple,
+                batch.select(
+                    F.col("ingest_ts").cast("timestamp").alias("ts"),
+                    F.explode(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                    ).alias("token"),
+                )
+                .where(F.col("token") != "")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "token")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.unix_timestamp(F.col("w.start"))
+                    .cast("bigint")
+                    .alias("window_epoch"),
+                    "token",
+                    "n",
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+        assert len(got) > 0
