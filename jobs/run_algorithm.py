@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
-                    choices=["pagerank", "cc", "lpa_sync", "lpa_async", "louvain", "triangles"])
+                    choices=["pagerank", "ppr", "hits", "cc", "lpa_sync",
+                             "lpa_async", "louvain", "triangles", "kcore",
+                             "clustering"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -45,6 +47,9 @@ def main():
                          "exchange saved per consumer)")
     ap.add_argument("--output-table", default="algo_out",
                     help="catalog table name for --output-buckets")
+    ap.add_argument("--seeds", help="parquet of (vid) seed vertices "
+                                    "(--algo ppr)")
+    ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"comm-detect-{args.algo}").getOrCreate()
@@ -60,8 +65,10 @@ def main():
 
     if args.resume and not args.checkpoint_root:
         ap.error("--resume requires --checkpoint-root")
-    if args.resume and args.algo == "triangles":
-        ap.error("--resume is not supported for triangles (non-iterative)")
+    if args.resume and args.algo in ("triangles", "kcore", "clustering"):
+        ap.error(f"--resume is not supported for {args.algo}")
+    if args.algo == "ppr" and not args.seeds:
+        ap.error("--algo ppr requires --seeds")
 
     vertices = None
     if args.pages:
@@ -69,7 +76,9 @@ def main():
 
         pages = spark.read.parquet(args.pages)
         vertices, edges = pages_to_graph(
-            pages, symmetric=args.algo in ("cc", "lpa_sync", "lpa_async", "louvain", "triangles")
+            pages, symmetric=args.algo in ("cc", "lpa_sync", "lpa_async",
+                                           "louvain", "triangles", "kcore",
+                                           "clustering")
         )
         # url -> vid mapping: without it the vid-keyed output is unreadable
         vertices = vertices.persist()
@@ -119,6 +128,27 @@ def main():
             driver_factory=driver_factory if args.checkpoint_root else None,
             resume=args.resume,
         )
+    elif args.algo == "ppr":
+        from comm_detect_spark.operators.pagerank import personalized_pagerank
+
+        seeds = spark.read.parquet(args.seeds)
+        out = personalized_pagerank(
+            spark, edges, seeds, n, iterations=args.iterations,
+            driver=driver, vertices=vids,
+        )
+    elif args.algo == "hits":
+        from comm_detect_spark.operators.hits import hits
+
+        out = hits(spark, edges, n, iterations=args.iterations,
+                   driver=driver, vertices=vids)
+    elif args.algo == "kcore":
+        from comm_detect_spark.operators.kcore import k_core
+
+        out = k_core(spark, edges, k=args.k)
+    elif args.algo == "clustering":
+        from comm_detect_spark.operators.kcore import local_clustering
+
+        out = local_clustering(edges)
     else:
         out = triangle_counts(edges)
 

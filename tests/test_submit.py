@@ -182,3 +182,48 @@ def test_spark_submit_corpus_dedup_end_to_end(spark, tmp_path):
     assert got[0] == (0, True) and got[1] == (0, False)
     assert got[3] == (0, False)
     assert got[2][1] is True  # its own cluster's representative
+
+
+@pytest.mark.slow
+def test_spark_submit_ppr_with_seeds(spark, jazz, jazz_df, tmp_path):
+    """--algo ppr end-to-end: the --seeds parquet path, output matches the
+    NumPy oracle (run in a separate JVM via spark-submit --py-files)."""
+    import numpy as np
+
+    from comm_detect_spark import oracle
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "comm_detect_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, cwd=root,
+    )
+    edges_path = str(tmp_path / "edges.parquet")
+    jazz_df.write.mode("overwrite").parquet(edges_path)
+    seeds_path = str(tmp_path / "seeds.parquet")
+    spark.createDataFrame([(0,), (5,), (17,)], "vid BIGINT").write.mode(
+        "overwrite"
+    ).parquet(seeds_path)
+    out_path = str(tmp_path / "ppr")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(root, "jobs", "run_algorithm.py"),
+         "--algo", "ppr", "--edges", edges_path, "--seeds", seeds_path,
+         "--out", out_path, "--iterations", "4"],
+        check=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    n, s, d, w = jazz
+    want = oracle.personalized_pagerank(
+        n, s, d, seeds=[0, 5, 17], weight=w.astype(float), iterations=4
+    )
+    got = np.zeros(n)
+    for r in spark.read.parquet(out_path).collect():
+        got[r["vid"]] = r["rank"]
+    assert np.allclose(got, want, atol=1e-6)
