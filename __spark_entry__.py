@@ -497,6 +497,32 @@ def _q_hits_iter1(spark, sf_dir):
     )
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components of a sparse DIRECTED derivation.
+    The DuckDB oracle computes the transitive closure (recursive CTE) and
+    takes each vertex's min mutual-reachability partner, so the engine's
+    iterative trim + coloring + backward-BFS path is cross-engine
+    verified end to end. The derivation keeps the vertex set small
+    (<= 400) because the oracle's closure is O(n^2) rows."""
+    from comm_detect_spark.operators.scc import strongly_connected_components
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        li.where((F.col("l_linenumber") == 1) & (F.col("l_quantity") <= 10))
+        .select(
+            (F.col("l_orderkey") % 400).alias("src"),
+            (F.col("l_partkey") % 400).alias("dst"),
+        )
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return strongly_connected_components(spark, e, vertices=v)
+
+
 def _q_kcore38(spark, sf_dir):
     # k=38 bites at the driver's sf0.01 gate (t-graph degrees 26..56 there,
     # so the peel cascades); at sf0.001 the whole sparse graph peels away —
@@ -579,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_full": _q_cc_full,
         "louvain_communities": _q_louvain,
         "louvain_sweep1": _q_louvain_sweep1,
+        "scc": _q_scc,
         "kcore_38": _q_kcore38,
         "clustering_coeff": _q_clustering_coeff,
         "degree_hist": _q_degree_hist,
@@ -974,6 +1001,33 @@ SELECT h.vid,
        ROUND(CASE WHEN nh.nh > 0 THEN h.h / nh.nh ELSE 0.0 END, 6) AS hub,
        ROUND(a.auth, 6) AS auth
 FROM h_full h CROSS JOIN nh JOIN auth a ON a.vid = h.vid
+""",
+        "scc": """
+WITH RECURSIVE scc_dir AS (
+  SELECT DISTINCT l_orderkey % 400 AS src, l_partkey % 400 AS dst
+  FROM lineitem WHERE l_linenumber = 1 AND l_quantity <= 10
+),
+scc_e AS (SELECT src, dst FROM scc_dir WHERE src <> dst),
+-- NOTE: no bare top-level UNION in a CTE here — under WITH RECURSIVE,
+-- DuckDB parses that as recursive-CTE syntax and appends without dedup
+scc_v AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM scc_dir UNION ALL SELECT dst AS vid FROM scc_dir
+  )
+),
+reach(a, b) AS (
+  SELECT src, dst FROM scc_e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN scc_e e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS v, MIN(r1.b) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a
+)
+SELECT v.vid AS vid,
+       CAST(LEAST(v.vid, COALESCE(m.mn, v.vid)) AS BIGINT) AS scc
+FROM scc_v v LEFT JOIN mutual m ON m.v = v.vid
 """,
         "cc_round1": f"""
 WITH {_SQL_G},

@@ -38,4 +38,7 @@ from comm_detect_spark.operators.similarity import (  # noqa: F401
     write_centroids,
     write_ivf_table,
 )
+from comm_detect_spark.operators.scc import (  # noqa: F401
+    strongly_connected_components,
+)
 from comm_detect_spark.operators.triangles import triangle_counts  # noqa: F401

@@ -22,6 +22,7 @@ from comm_detect_spark.oracle.algorithms import (  # noqa: F401
     modularity_difference,
     pagerank,
     personalized_pagerank,
+    strongly_connected_components,
     triangle_counts,
     volumes,
 )

@@ -527,3 +527,56 @@ def hits(
         nh = np.sqrt((h * h).sum())
         hub = h / nh if nh > 0 else h
     return hub, auth
+
+
+def strongly_connected_components(
+    n: int, src: np.ndarray, dst: np.ndarray
+) -> np.ndarray:
+    """Directed strongly connected components via iterative Kosaraju;
+    scc id = min vid in the SCC (same exact-match contract as
+    connected_components). Twin of operators/scc.py."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    radj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:  # self-loops never change SCC membership
+            adj[a].append(b)
+            radj[b].append(a)
+    # pass 1: forward DFS finish order (iterative — no recursion limit)
+    visited = np.zeros(n, dtype=bool)
+    order: list[int] = []
+    for s in range(n):
+        if visited[s]:
+            continue
+        visited[s] = True
+        stack: list[tuple[int, int]] = [(s, 0)]
+        while stack:
+            v, i = stack[-1]
+            if i < len(adj[v]):
+                stack[-1] = (v, i + 1)
+                w = adj[v][i]
+                if not visited[w]:
+                    visited[w] = True
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+                stack.pop()
+    # pass 2: reverse-graph DFS in reverse finish order
+    comp = np.full(n, -1, dtype=np.int64)
+    for s in reversed(order):
+        if comp[s] != -1:
+            continue
+        comp[s] = s
+        members = [s]
+        dfs = [s]
+        while dfs:
+            v = dfs.pop()
+            for w in radj[v]:
+                if comp[w] == -1:
+                    comp[w] = s
+                    members.append(w)
+                    dfs.append(w)
+        m = min(members)
+        comp[np.asarray(members, dtype=np.int64)] = m
+    return comp

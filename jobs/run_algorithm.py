@@ -28,9 +28,9 @@ from pyspark.sql import functions as F
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
-                    choices=["pagerank", "ppr", "hits", "cc", "lpa_sync",
-                             "lpa_async", "louvain", "triangles", "kcore",
-                             "clustering"])
+                    choices=["pagerank", "ppr", "hits", "cc", "scc",
+                             "lpa_sync", "lpa_async", "louvain", "triangles",
+                             "kcore", "clustering"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -65,7 +65,8 @@ def main():
 
     if args.resume and not args.checkpoint_root:
         ap.error("--resume requires --checkpoint-root")
-    if args.resume and args.algo in ("triangles", "kcore", "clustering"):
+    if args.resume and args.algo in ("triangles", "kcore", "clustering",
+                                     "scc"):
         ap.error(f"--resume is not supported for {args.algo}")
     if args.algo == "ppr" and not args.seeds:
         ap.error("--algo ppr requires --seeds")
@@ -141,6 +142,12 @@ def main():
 
         out = hits(spark, edges, n, iterations=args.iterations,
                    driver=driver, vertices=vids)
+    elif args.algo == "scc":
+        from comm_detect_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        out = strongly_connected_components(spark, edges, n=n, vertices=vids)
     elif args.algo == "kcore":
         from comm_detect_spark.operators.kcore import k_core
 

@@ -1,0 +1,63 @@
+"""The driver-contract regression gate for bench.py.
+
+BENCH_r04.json shipped with `parsed: null` because the enriched stdout
+line outgrew the driver's tail capture (VERDICT r4 #2).  The r5 contract
+is: stdout's LAST line is one compact JSON object, small enough to always
+survive a tail capture, and the heavyweight attribution detail lives in a
+sidecar file.  This test runs the real bench.py in a subprocess at toy
+scale and pins both halves of that contract.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_stdout_last_line_is_compact_contract_json(tmp_path):
+    detail_path = str(tmp_path / "detail.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_RMAT_SCALE="10",
+        SPARK_GRAFT_RMAT_EF="4",
+        SPARK_GRAFT_PR_ITERS="2",
+        SPARK_GRAFT_LPA_SWEEPS="1",
+        SPARK_GRAFT_BENCH_DETAIL=detail_path,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, cwd=ROOT, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, "bench.py printed nothing to stdout"
+    last = lines[-1]
+    # the r4 failure mode: the line must stay well inside any plausible
+    # stdout tail capture (the r4 enriched line was tens of KB)
+    assert len(last) < 8192, f"contract line too long: {len(last)} bytes"
+    parsed = json.loads(last)
+    for key in ("metric", "value", "unit", "queries", "queries_min",
+                "reps", "sf", "total_sec", "hw_anchor_median"):
+        assert key in parsed, f"missing contract key {key}"
+    assert parsed["unit"] == "edges/sec"
+    assert parsed["value"] > 0
+    assert parsed["reps"] == 1
+    assert parsed["queries"], "empty queries map"
+    assert set(parsed["queries_min"]) == set(parsed["queries"])
+    for q, med in parsed["queries"].items():
+        assert parsed["queries_min"][q] <= med + 1e-9
+    # detail sidecar: full attribution moved OUT of stdout, not dropped
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    for key in ("protocol", "runs", "median", "min", "hw_anchor",
+                "throughput"):
+        assert key in detail, f"missing detail key {key}"
+    assert set(detail["median"]) == set(parsed["queries"])
