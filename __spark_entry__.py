@@ -576,6 +576,20 @@ def _q_wordcount_top20(spark, sf_dir):
     )
 
 
+def _q_anf_b3(spark, sf_dir):
+    """Approximate neighborhood function: Flajolet-Martin sketches of every
+    vertex's 3-hop neighborhood on g_sym. The FM pipeline is md5-seeded and
+    union is bitwise OR, so even the APPROXIMATION is deterministic — the
+    DuckDB oracle unrolls the same 3 bit_or propagation rounds and matches
+    the integer b_sum (sum over 4 trials of the lowest-unset-bit index)
+    bit for bit."""
+    from comm_detect_spark.operators.anf import anf_b_sum, anf_sketches
+
+    sym = _g_sym(spark, sf_dir)
+    verts = _g_verts(spark, sf_dir)
+    return anf_b_sum(anf_sketches(spark, sym, verts, hops=3, trials=4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_volumes": _q_graph_volumes,
@@ -612,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordcount_top20": _q_wordcount_top20,
         "ppr_iter1": _q_ppr_iter1,
         "hits_iter1": _q_hits_iter1,
+        "anf_b3": _q_anf_b3,
     }
 
 
@@ -1038,6 +1053,47 @@ m AS (
 )
 SELECT a.vid, LEAST(a.comp, COALESCE(b.comp, a.comp)) AS comp
 FROM m a LEFT JOIN m b ON a.comp = b.vid
+""",
+        "anf_b3": f"""
+WITH {_SQL_G},
+anf_trials AS (SELECT UNNEST([0, 1, 2, 3]) AS trial),
+anf_s0 AS (
+  SELECT vid, trial, h & -h AS sketch FROM (
+    SELECT v.vid, t.trial,
+           CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(
+             CAST(v.vid AS VARCHAR), ':', CAST(t.trial AS VARCHAR)
+           )), 1, 15)) AS BIGINT) AS h
+    FROM g_verts v CROSS JOIN anf_trials t
+  )
+),
+anf_n1 AS (
+  SELECT e.dst AS vid, s.trial, BIT_OR(s.sketch) AS nsk
+  FROM g_sym e JOIN anf_s0 s ON s.vid = e.src GROUP BY 1, 2
+),
+anf_s1 AS (
+  SELECT i.vid, i.trial, i.sketch | COALESCE(n.nsk, 0) AS sketch
+  FROM anf_s0 i LEFT JOIN anf_n1 n ON n.vid = i.vid AND n.trial = i.trial
+),
+anf_n2 AS (
+  SELECT e.dst AS vid, s.trial, BIT_OR(s.sketch) AS nsk
+  FROM g_sym e JOIN anf_s1 s ON s.vid = e.src GROUP BY 1, 2
+),
+anf_s2 AS (
+  SELECT i.vid, i.trial, i.sketch | COALESCE(n.nsk, 0) AS sketch
+  FROM anf_s1 i LEFT JOIN anf_n2 n ON n.vid = i.vid AND n.trial = i.trial
+),
+anf_n3 AS (
+  SELECT e.dst AS vid, s.trial, BIT_OR(s.sketch) AS nsk
+  FROM g_sym e JOIN anf_s2 s ON s.vid = e.src GROUP BY 1, 2
+),
+anf_s3 AS (
+  SELECT i.vid, i.trial, i.sketch | COALESCE(n.nsk, 0) AS sketch
+  FROM anf_s2 i LEFT JOIN anf_n3 n ON n.vid = i.vid AND n.trial = i.trial
+)
+SELECT vid,
+       CAST(SUM(CAST(ROUND(LOG2((-1 - sketch) & (sketch + 1))) AS BIGINT))
+            AS BIGINT) AS b_sum
+FROM anf_s3 GROUP BY vid
 """,
         "triangle_total": f"""
 WITH {_SQL_T},

@@ -174,6 +174,7 @@ def main() -> None:
         "wordcount_top20",
         "ppr_iter1",
         "hits_iter1",
+        "anf_b3",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -21,6 +21,13 @@ from comm_detect_spark.operators.kcore import (  # noqa: F401
     k_core,
     local_clustering,
 )
+from comm_detect_spark.operators.anf import (  # noqa: F401
+    anf_b_sum,
+    anf_estimates,
+    anf_sketches,
+    effective_diameter,
+    neighborhood_function,
+)
 from comm_detect_spark.operators.hits import hits  # noqa: F401
 from comm_detect_spark.operators.pagerank import (  # noqa: F401
     pagerank,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
-                    choices=["pagerank", "ppr", "hits", "cc", "scc",
+                    choices=["pagerank", "ppr", "hits", "cc", "scc", "anf",
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--seeds", help="parquet of (vid) seed vertices "
                                     "(--algo ppr)")
     ap.add_argument("--k", type=int, default=3, help="k for --algo kcore")
+    ap.add_argument("--hops", type=int, default=8,
+                    help="--algo anf: neighborhood radius")
+    ap.add_argument("--trials", type=int, default=32,
+                    help="--algo anf: FM trials (variance ~ 1/sqrt)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"comm-detect-{args.algo}").getOrCreate()
@@ -66,7 +70,7 @@ def main():
     if args.resume and not args.checkpoint_root:
         ap.error("--resume requires --checkpoint-root")
     if args.resume and args.algo in ("triangles", "kcore", "clustering",
-                                     "scc"):
+                                     "scc", "anf"):
         ap.error(f"--resume is not supported for {args.algo}")
     if args.algo == "ppr" and not args.seeds:
         ap.error("--algo ppr requires --seeds")
@@ -79,7 +83,7 @@ def main():
         vertices, edges = pages_to_graph(
             pages, symmetric=args.algo in ("cc", "lpa_sync", "lpa_async",
                                            "louvain", "triangles", "kcore",
-                                           "clustering")
+                                           "clustering", "anf")
         )
         # url -> vid mapping: without it the vid-keyed output is unreadable
         vertices = vertices.persist()
@@ -156,6 +160,17 @@ def main():
         from comm_detect_spark.operators.kcore import local_clustering
 
         out = local_clustering(edges)
+    elif args.algo == "anf":
+        from comm_detect_spark.graph.core import vertex_range
+        from comm_detect_spark.operators.anf import (
+            anf_estimates,
+            anf_sketches,
+        )
+
+        verts = vids if vids is not None else vertex_range(spark, n)
+        sk = anf_sketches(spark, edges, verts, hops=args.hops,
+                          trials=args.trials)
+        out = anf_estimates(sk, args.trials)
     else:
         out = triangle_counts(edges)
 
