@@ -576,6 +576,19 @@ def _q_wordcount_top20(spark, sf_dir):
     )
 
 
+def _q_sessions_30m(spark, sf_dir):
+    """Gap-based sessionization of the events table via the BUILT-IN
+    session_window; the oracle is the classic gaps-and-islands SQL
+    (LAG > gap -> running sum -> group), which pins session_window's
+    INCLUSIVE boundary cross-engine: an event at exactly prev + gap
+    still merges (verified against a hand-built boundary case in
+    tests/test_sessions.py)."""
+    from comm_detect_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap="30 minutes")
+
+
 def _q_anf_b3(spark, sf_dir):
     """Approximate neighborhood function: Flajolet-Martin sketches of every
     vertex's 3-hop neighborhood on g_sym. The FM pipeline is md5-seeded and
@@ -627,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_iter1": _q_ppr_iter1,
         "hits_iter1": _q_hits_iter1,
         "anf_b3": _q_anf_b3,
+        "sessions_30m": _q_sessions_30m,
     }
 
 
@@ -1371,6 +1385,29 @@ reach(vid, comp) AS (
   SELECT e.dst, r.comp FROM g_sym e JOIN reach r ON e.src = r.vid
 )
 SELECT vid, MIN(comp) AS comp FROM reach GROUP BY vid
+""",
+        "sessions_30m": """
+WITH brk AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT user_id,
+       CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT)
+         AS session_start,
+       CAST(epoch(date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE))
+            AS BIGINT) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM sess GROUP BY user_id, sid
 """,
         "events_hourly": """
 SELECT user_id,

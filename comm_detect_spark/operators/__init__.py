@@ -33,6 +33,7 @@ from comm_detect_spark.operators.pagerank import (  # noqa: F401
     pagerank,
     personalized_pagerank,
 )
+from comm_detect_spark.operators.sessions import sessionize  # noqa: F401
 from comm_detect_spark.operators.similarity import (  # noqa: F401
     ann_pairs,
     brute_force_topk,

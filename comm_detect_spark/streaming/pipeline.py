@@ -119,6 +119,127 @@ def wordcount_windowed_stream(
     )
 
 
+def sessions_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators/sessions.sessionize — and deliberately
+    the SAME built-in: ``session_window`` under a watermark. A session
+    finalizes (append mode emits it) once the watermark passes its end
+    (last event + gap); state per (user, open session) is one merged
+    window, expired by the watermark, so state size is bounded by the
+    number of users active inside the horizon."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias(
+                "session_start"
+            ),
+            F.unix_timestamp(F.col("w.end")).cast("bigint").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_pack_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    shard_tokens: int = 1_000_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming twin of operators/corpus.pack_shards: assign arriving
+    documents to fixed-token-budget training shards, carrying the running
+    offset ACROSS micro-batches.
+
+    This is the repo's one genuinely custom stateful streaming operator —
+    a running carry is not expressible with built-in windowed aggregation
+    (no window shape yields "offset where the previous batch stopped"), so
+    it uses ``applyInPandasWithState`` (Arrow-batched, no per-row Python).
+
+    Contract vs the batch operator: batch pack_shards lays the WHOLE corpus
+    out in hash order (h60(id#seed), id) — a stream cannot re-sort history,
+    so the streaming contract is hash order WITHIN each micro-batch,
+    arrival order ACROSS batches, with the carried offset making shard
+    boundaries continuous. Feeding the stream one batch of hash-ordered
+    input reproduces the batch output exactly (pinned in
+    tests/test_streaming.py).
+
+    State: ONE bigint (the next start offset) per packer group. The single
+    group key serializes packing — inherent to a global token order (the
+    batch twin pays a range-partitioned two-phase prefix sum for the same
+    reason); shard a real deployment by training split (one packer group
+    per split via the group_col) so independent splits pack in parallel."""
+    import pandas as pd
+
+    from comm_detect_spark.operators.dedup import _h60
+
+    out_schema = (
+        "id string, start_offset bigint, shard_id bigint"
+    )
+    state_schema = "next_offset bigint"
+
+    def pack(key, pdf_iter, state):
+        offset = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["_hk", "id"], kind="mergesort")
+            if pdf["_tok"].isna().any():
+                # same loud-failure contract as batch pack_shards: a NULL
+                # token count would silently corrupt every later offset
+                bad = pdf.loc[pdf["_tok"].isna(), "id"].iloc[0]
+                raise ValueError(
+                    f"streaming_pack_shards: NULL tokens for id={bad}"
+                )
+            toks = pdf["_tok"].to_numpy()
+            csum = toks.cumsum()
+            starts = offset + csum - toks
+            offset = int(offset + csum[-1]) if len(csum) else offset
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "start_offset": starts,
+                    "shard_id": starts // shard_tokens,
+                }
+            )
+        state.update((offset,))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepped = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(tokens_col).cast("bigint").alias("_tok"),
+        _h60(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+        ).alias("_hk"),
+        F.lit(0).alias("_g"),
+    )
+    return prepped.groupBy("_g").applyInPandasWithState(
+        pack,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
