@@ -576,6 +576,29 @@ def _q_wordcount_top20(spark, sf_dir):
     )
 
 
+def _q_linkpred(spark, sf_dir):
+    """Common-neighbor / Jaccard / Adamic-Adar pair scores on the T graph
+    (min_common=3 keeps the pair set driver-sized; the oracle replays the
+    identical wedge self-join in SQL)."""
+    from comm_detect_spark.operators.linkpred import link_prediction_scores
+
+    return link_prediction_scores(_t_edges(spark, sf_dir), min_common=3)
+
+
+def _q_tfidf(spark, sf_dir):
+    from comm_detect_spark.operators.ranking import tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf(docs)
+
+
+def _q_bm25(spark, sf_dir):
+    from comm_detect_spark.operators.ranking import bm25
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25(docs)
+
+
 def _q_sessions_30m(spark, sf_dir):
     """Gap-based sessionization of the events table via the BUILT-IN
     session_window; the oracle is the classic gaps-and-islands SQL
@@ -641,6 +664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_iter1": _q_hits_iter1,
         "anf_b3": _q_anf_b3,
         "sessions_30m": _q_sessions_30m,
+        "tfidf_scores": _q_tfidf,
+        "bm25_scores": _q_bm25,
+        "linkpred_scores": _q_linkpred,
     }
 
 
@@ -1385,6 +1411,79 @@ reach(vid, comp) AS (
   SELECT e.dst, r.comp FROM g_sym e JOIN reach r ON e.src = r.vid
 )
 SELECT vid, MIN(comp) AS comp FROM reach GROUP BY vid
+""",
+        "linkpred_scores": f"""
+WITH {_SQL_T},
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM t_sym WHERE src <> dst
+),
+adj AS (
+  SELECT a AS vid, b AS nbr FROM simple
+  UNION ALL SELECT b AS vid, a AS nbr FROM simple
+),
+deg AS (SELECT vid, COUNT(*) AS deg FROM adj GROUP BY vid),
+centers AS (
+  SELECT n.nbr AS w, n.vid AS leaf, d.deg
+  FROM adj n JOIN deg d ON d.vid = n.nbr
+),
+wedges AS (
+  SELECT x.leaf AS u, y.leaf AS v, 1.0 / LN(x.deg) AS aa_term
+  FROM centers x JOIN centers y ON x.w = y.w AND x.leaf < y.leaf
+),
+scores AS (
+  SELECT u, v, COUNT(*) AS common, SUM(aa_term) AS aa
+  FROM wedges GROUP BY u, v
+)
+SELECT s.u, s.v, s.common,
+       ROUND(CAST(s.common AS DOUBLE) / (du.deg + dv.deg - s.common), 6)
+         AS jaccard,
+       ROUND(s.aa, 6) AS adamic_adar
+FROM scores s
+JOIN deg du ON du.vid = s.u
+JOIN deg dv ON dv.vid = s.v
+WHERE s.common >= 3
+""",
+        "tfidf_scores": """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY doc_id, token
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM terms),
+dfq AS (SELECT token, COUNT(*) AS df_docs FROM terms GROUP BY token)
+SELECT t.doc_id, t.token, t.tf, d.df_docs,
+       ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df_docs), 6) AS score
+FROM terms t JOIN dfq d USING (token) CROSS JOIN nd n
+""",
+        "bm25_scores": """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY doc_id, token
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM terms),
+dfq AS (SELECT token, COUNT(*) AS df_docs FROM terms GROUP BY token),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM terms GROUP BY doc_id),
+ad AS (SELECT AVG(dl) AS avgdl FROM dl)
+SELECT t.doc_id, t.token, t.tf, d.df_docs,
+       ROUND(
+         LN(1.0 + (n.n_docs - d.df_docs + 0.5) / (d.df_docs + 0.5))
+         * t.tf * 2.2
+         / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl)),
+         6) AS score
+FROM terms t
+JOIN dfq d USING (token)
+JOIN dl l USING (doc_id)
+CROSS JOIN nd n CROSS JOIN ad a
 """,
         "sessions_30m": """
 WITH brk AS (

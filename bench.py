@@ -175,6 +175,10 @@ def main() -> None:
         "ppr_iter1",
         "hits_iter1",
         "anf_b3",
+        "sessions_30m",
+        "tfidf_scores",
+        "bm25_scores",
+        "linkpred_scores",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

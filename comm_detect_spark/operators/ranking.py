@@ -1,0 +1,111 @@
+"""Corpus term weighting: TF-IDF and Okapi BM25.
+
+The reference engine has no text-ranking surface (SURVEY §2); these are the
+standard scoring blocks of a training-data pipeline — quality-weighting
+terms, retrieval-style filtering, decontamination triage — over the same
+whitespace tokenization as the wordcount profile (functions/text.py).
+
+Everything is built-in JVM expressions: explode -> two hash aggregations
+(per-(doc, token) tf; per-token document frequency) -> one token-keyed join
+-> arithmetic. The corpus-wide scalars (N docs, avg doc length) are one-row
+aggregates cross-joined back (broadcast of a single row — no driver-side
+collect in the plan).
+
+100 TB shape: tf and df are map-side-combined aggs; the tf<-df join
+shuffles on token — stopword keys are hot but BOUNDED (each token's df row
+is 1 row; the fat side is the (doc, token) table, which AQE skew-join
+splits, pagerank-hub story). No per-row Python; floats enter only in the
+final ln()/divide, and driver-checked outputs round to 6 decimals
+(cross-engine libm last-ulp convention, same as hits/clustering)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, tf): whitespace-lower tokenization, term counts per
+    document. One explode + one hash agg."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    return toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def _with_corpus_scalars(terms: DataFrame) -> DataFrame:
+    """Attach n_docs (corpus size) and df (document frequency) columns."""
+    ndocs = terms.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfreq = terms.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    return terms.join(dfreq, "token").crossJoin(F.broadcast(ndocs))
+
+
+def tfidf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, tf, df_docs, score): score = tf * ln(N / df).
+
+    Classic raw-count TF-IDF; a token present in every document scores
+    exactly 0."""
+    t = _with_corpus_scalars(doc_terms(docs, id_col, text_col))
+    return t.select(
+        "doc_id",
+        "token",
+        "tf",
+        "df_docs",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 6
+        ).alias("score"),
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, token, tf, df_docs, score): Okapi BM25 per (doc, term).
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))   -- always positive
+    score = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    dl is the document's token count (with multiplicity), avgdl the corpus
+    mean — a one-row broadcast, not a collect."""
+    terms = doc_terms(docs, id_col, text_col)
+    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    t = (
+        _with_corpus_scalars(terms)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return t.select(
+        "doc_id",
+        "token",
+        "tf",
+        "df_docs",
+        F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).alias(
+            "score"
+        ),
+    )

@@ -1,0 +1,162 @@
+"""TF-IDF / BM25 and link-prediction scores — hand-computed micro-fixtures
+plus a brute-force Python cross-check on a deterministic random graph."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from comm_detect_spark.operators.linkpred import link_prediction_scores
+from comm_detect_spark.operators.ranking import bm25, doc_terms, tfidf
+from tests.conftest import edges_df
+
+
+class TestTfIdf:
+    def _docs(self, spark):
+        rows = [(1, "a b a"), (2, "a c"), (3, "b b b")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_doc_terms(self, spark):
+        got = {
+            (r["doc_id"], r["token"]): r["tf"]
+            for r in doc_terms(self._docs(spark)).collect()
+        }
+        assert got == {
+            (1, "a"): 2, (1, "b"): 1, (2, "a"): 1, (2, "c"): 1, (3, "b"): 3,
+        }
+
+    def test_tfidf_hand(self, spark):
+        got = {
+            (r["doc_id"], r["token"]): (r["tf"], r["df_docs"], r["score"])
+            for r in tfidf(self._docs(spark)).collect()
+        }
+        ln32 = math.log(3 / 2)
+        ln3 = math.log(3.0)
+        want = {
+            (1, "a"): (2, 2, round(2 * ln32, 6)),
+            (1, "b"): (1, 2, round(1 * ln32, 6)),
+            (2, "a"): (1, 2, round(1 * ln32, 6)),
+            (2, "c"): (1, 1, round(1 * ln3, 6)),
+            (3, "b"): (3, 2, round(3 * ln32, 6)),
+        }
+        assert got == want
+
+    def test_bm25_hand(self, spark):
+        got = {
+            (r["doc_id"], r["token"]): r["score"]
+            for r in bm25(self._docs(spark)).collect()
+        }
+        # dl: d1=3, d2=2, d3=3; avgdl = 8/3; N=3
+        k1, b = 1.2, 0.75
+
+        def score(tf, df, dl):
+            idf = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+            return round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (8 / 3))),
+                6,
+            )
+
+        assert got[(1, "a")] == score(2, 2, 3)
+        assert got[(2, "c")] == score(1, 1, 2)
+        assert got[(3, "b")] == score(3, 2, 3)
+        # a common term scores below a rare one at equal tf and dl
+        assert got[(2, "a")] < got[(2, "c")]
+
+
+def _rand_graph(n=24, out=3):
+    edges = set()
+    for v in range(n):
+        for j in range(out):
+            d = int(
+                hashlib.md5(f"lp:{v}:{j}".encode()).hexdigest()[:8], 16
+            ) % n
+            if d != v:
+                edges.add((min(v, d), max(v, d)))
+    return sorted(edges)
+
+
+def _py_linkpred(simple):
+    nbrs = {}
+    for a, b in simple:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    vs = sorted(nbrs)
+    for i, u in enumerate(vs):
+        for v in vs[i + 1:]:
+            cn = nbrs[u] & nbrs[v]
+            if not cn:
+                continue
+            aa = sum(1.0 / math.log(len(nbrs[w])) for w in cn)
+            jac = len(cn) / (len(nbrs[u]) + len(nbrs[v]) - len(cn))
+            out[(u, v)] = (len(cn), round(jac, 6), round(aa, 6))
+    return out
+
+
+class TestLinkPrediction:
+    def test_square_with_diagonal(self, spark):
+        # square 0-1-2-3-0 plus chord 0-2: pair (1,3) has common {0, 2},
+        # both centers degree 3; jaccard = 2/(2+2-2) = 1.0
+        simple = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)]
+        e = edges_df(
+            spark, 4,
+            [a for a, _ in simple], [b for _, b in simple],
+            [1] * len(simple),
+        )
+        got = {
+            (r["u"], r["v"]): (r["common"], r["jaccard"], r["adamic_adar"])
+            for r in link_prediction_scores(e).collect()
+        }
+        aa13 = round(2 / math.log(3), 6)
+        assert got[(1, 3)] == (2, 1.0, aa13)
+        # adjacent pair (0,1): common {2}; deg0=3, deg1=2 -> jac 1/4
+        assert got[(0, 1)] == (1, 0.25, round(1 / math.log(3), 6))
+
+    def test_matches_bruteforce(self, spark):
+        simple = _rand_graph()
+        e = edges_df(
+            spark, 24,
+            [a for a, _ in simple], [b for _, b in simple],
+            [1] * len(simple),
+        )
+        got = {
+            (r["u"], r["v"]): (r["common"], r["jaccard"], r["adamic_adar"])
+            for r in link_prediction_scores(e).collect()
+        }
+        assert got == _py_linkpred(simple)
+
+    def test_center_degree_cap(self, spark):
+        # star center 0 with leaves 1..5 plus edge 1-2: capping centers at
+        # degree 2 removes every wedge through the hub; pair (1,2) keeps no
+        # common neighbor (0 is pruned as center), so no pairs survive
+        # min_common=1 EXCEPT those via degree<=2 centers: centers 1 and 2
+        # have degree 2, giving wedge (0 via 1? no — 1's neighbors are 0,2)
+        simple = [(0, i) for i in range(1, 6)] + [(1, 2)]
+        e = edges_df(
+            spark, 6,
+            [a for a, _ in simple], [b for _, b in simple],
+            [1] * len(simple),
+        )
+        got = {
+            (r["u"], r["v"]): r["common"]
+            for r in link_prediction_scores(
+                e, max_center_degree=2
+            ).collect()
+        }
+        # surviving wedges: center 1 (deg 2, neighbors {0,2}) -> pair (0,2);
+        # center 2 (deg 2, neighbors {0,1}) -> pair (0,1)
+        assert got == {(0, 2): 1, (0, 1): 1}
+        # and degrees used for jaccard stay FULL: uncapped run agrees on
+        # shared pairs' normalization
+        full = {
+            (r["u"], r["v"]): r["jaccard"]
+            for r in link_prediction_scores(e).collect()
+        }
+        capped = {
+            (r["u"], r["v"]): r["jaccard"]
+            for r in link_prediction_scores(
+                e, max_center_degree=2
+            ).collect()
+        }
+        for k in capped:
+            assert capped[k] <= full[k] + 1e-9
