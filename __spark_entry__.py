@@ -626,6 +626,60 @@ def _q_anf_b3(spark, sf_dir):
     return anf_b_sum(anf_sketches(spark, sym, verts, hops=3, trials=4))
 
 
+def _q_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus on the DIRECTED T graph: length-3
+    walks from every vertex, next hop = sorted-neighbor[h60 % outdeg].
+    The hash-indexed pick makes even the sampling replayable in SQL —
+    the oracle unrolls the 3 steps with the identical md5 arithmetic."""
+    from comm_detect_spark.operators.walks import random_walks
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).distinct()
+    return random_walks(e, walk_length=3, walks_per_vertex=1, seed=42)
+
+
+def _walks_oracle_sql(walk_length: int = 3, seed: int = 42) -> str:
+    """Unrolled-step replay of random_walks: one CTE per step, next hop =
+    nbrs[h60('{seed}:{walk}:{t}') % deg + 1] with nbrs sorted ascending —
+    the exact operator contract (walks.py docstring)."""
+    ctes = [
+        """t0 AS (
+  SELECT DISTINCT l_orderkey % 400 AS src, l_partkey % 400 AS dst
+  FROM lineitem WHERE l_linenumber = 1
+),
+adj AS (
+  SELECT src, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+  FROM t0 GROUP BY src
+),
+verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM t0 UNION ALL SELECT dst FROM t0
+  )
+),
+s0 AS (SELECT vid AS walk_id, 0 AS step, vid FROM verts)"""
+    ]
+    for t in range(1, walk_length + 1):
+        h = (
+            f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{seed}:', "
+            f"CAST(f.walk_id AS VARCHAR), ':{t}')), 1, 15)) AS BIGINT)"
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT f.walk_id, {t} AS step,
+         a.nbrs[CAST({h} % a.deg AS INT) + 1] AS vid
+  FROM s{t - 1} f JOIN adj a ON f.vid = a.src
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, vid FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_volumes": _q_graph_volumes,
@@ -667,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": _q_tfidf,
         "bm25_scores": _q_bm25,
         "linkpred_scores": _q_linkpred,
+        "random_walks_l3": _q_walks,
     }
 
 
@@ -1485,6 +1540,7 @@ JOIN dfq d USING (token)
 JOIN dl l USING (doc_id)
 CROSS JOIN nd n CROSS JOIN ad a
 """,
+        "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
         "sessions_30m": """
 WITH brk AS (
   SELECT user_id, ts, value, event_id,

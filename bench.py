@@ -179,6 +179,7 @@ def main() -> None:
         "tfidf_scores",
         "bm25_scores",
         "linkpred_scores",
+        "random_walks_l3",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -1,0 +1,140 @@
+"""Deterministic random-walk generation (DeepWalk / node2vec corpus).
+
+No reference twin (SURVEY §2 is community detection); this is the walk
+corpus generator of an embedding training pipeline — DeepWalk (Perozzi et
+al., KDD'14) samples fixed-length uniform walks from every vertex, and the
+walk corpus IS the training data handed to word2vec/SGNS downstream.
+
+Determinism instead of RNG state: the next hop of walk w at step t from
+vertex v is ``nbrs(v)[ h60(seed:w:t) % outdeg(v) ]`` where nbrs(v) is the
+vertex's out-neighbor list sorted ascending and h60 the repo-wide 60-bit
+md5 prefix (similarity.py:_h60). A hash-indexed pick is a uniform draw that
+is reproducible bit-for-bit in any engine with md5 — the same argument as
+the hash-ordered IVF fit sample — so the DuckDB oracle replays walks
+exactly, and a resumed/re-run job emits the identical corpus (the property
+the checkpoint story needs; RNG-state walks cannot give it).
+
+Plan shape, one step = ONE shuffle join, no explosion:
+
+  adjacency   groupBy(src) -> sort_array(collect_set(dst))    (once)
+  step t      frontier(walk, v) JOIN adj ON v = src
+              next = element_at(nbrs, h % deg + 1)            (pure expr)
+
+The naive alternative — join the frontier against the EDGE list and argmin
+per walk — multiplies every walk sitting on a hub by the hub's degree
+(10^7-neighbor hub × walks parked on it = the scale-killer wedge shape,
+linkpred.py). The array pick keeps per-walk-step cost O(1): the only
+per-vertex cost is the adjacency row itself (a 10^7-degree hub is one
+~80 MB array row — large but bounded, the GraphX adjacency trade; cap with
+``max_degree`` to hash-sample hub neighbor lists deterministically when
+that bound matters). Walks that reach a vertex with no out-edge stop
+(inner join drops them) — dangling semantics, stated not hidden.
+
+100 TB shape: the frontier is O(n_vertices × walks_per_vertex) rows of
+(walk, v) — linear state, shuffled on v each step; hub-concentration skew
+(many walks standing on one celebrity page) is an equi-join on v, which
+AQE skew-split handles. walk_length steps = walk_length shuffles, the
+standard distributed-walk cost (GraphX/Pregel walk generators pay the
+same); lineage grows per step, so long walks should checkpoint every ~10
+steps like pagerank's lineage truncation (plans/driver.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h60(col):
+    """Repo-wide 60-bit md5-prefix hash (see similarity.py:_h60)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(walk_id, step, vid) rows of deterministic uniform out-link walks.
+
+    One walk starts at every vertex (every id appearing as src or dst) per
+    rep r in [0, walks_per_vertex); walk_id = vid * walks_per_vertex + r.
+    Step 0 is the start vertex; step t>0 follows
+    ``sorted_out_nbrs[ h60('{seed}:{walk_id}:{t}') % outdeg ]``.
+    Walks stop early at vertices with no out-edges.
+
+    ``max_degree`` deterministically subsamples hub neighbor lists: keep
+    the ``max_degree`` neighbors with the smallest (h60(seed:v:nbr), nbr)
+    — a uniform, replayable cap, same policy family as linkpred's
+    max_center_degree."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).distinct()
+    if max_degree is not None:
+        w = F.expr(
+            f"row_number() over (partition by src order by "
+            f"conv(substring(md5(concat('{seed}:', cast(src as string), ':',"
+            f" cast(dst as string))), 1, 15), 16, 10), dst)"
+        )
+        e = e.withColumn("_rn", w).where(F.col("_rn") <= max_degree).drop("_rn")
+    adj = e.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+
+    verts = (
+        edges.select(F.col("src").cast("long").alias("vid"))
+        .unionAll(edges.select(F.col("dst").cast("long").alias("vid")))
+        .distinct()
+    )
+    reps = verts.sparkSession.range(walks_per_vertex).select(
+        F.col("id").alias("rep")
+    )
+    frontier = verts.crossJoin(F.broadcast(reps)).select(
+        (F.col("vid") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.col("vid").alias("v"),
+    )
+
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("v").alias("vid")
+    )
+    for t in range(1, walk_length + 1):
+        h = _h60(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}"),
+            )
+        )
+        frontier = (
+            frontier.join(adj, frontier.v == adj.src)
+            .select(
+                "walk_id",
+                F.element_at(
+                    "nbrs", (h % F.size("nbrs") + 1).cast("int")
+                ).alias("v"),
+            )
+        )
+        out = out.unionAll(
+            frontier.select(
+                "walk_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("v").alias("vid"),
+            )
+        )
+    return out
+
+
+def walks_as_sentences(walks: DataFrame) -> DataFrame:
+    """(walk_id, sentence array<long>) — the word2vec input shape: one
+    ordered vertex array per walk. array_agg ordered by step via
+    sort_array on (step, vid) structs — no window, one hash agg."""
+    return walks.groupBy("walk_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("step", "vid"))),
+            lambda s: s["vid"],
+        ).alias("sentence")
+    )
