@@ -641,6 +641,26 @@ def _q_walks(spark, sf_dir):
     return random_walks(e, walk_length=3, walks_per_vertex=1, seed=42)
 
 
+def _q_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (keyword extraction): window
+    row_number over (score DESC, token ASC) — deterministic because the
+    producer rounds scores to 6 first."""
+    from comm_detect_spark.operators.ranking import tfidf, top_terms_per_doc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_terms_per_doc(tfidf(docs), k=3)
+
+
+def _q_graph_profile(spark, sf_dir):
+    """One-row scalar profile of the directed G graph (density,
+    reciprocity, Newman degree assortativity) — the first-look web-graph
+    diagnostics; the oracle rebuilds each moment in SQL, with DuckDB's
+    corr() NULL-on-zero-variance semantics mirrored via try_divide."""
+    from comm_detect_spark.operators.graphstats import graph_profile
+
+    return graph_profile(_g_directed(spark, sf_dir))
+
+
 def _q_pagerank_iter5(spark, sf_dir):
     """Five damped PageRank iterations to the SAME per-vertex-score bar as
     iter1 (round 9) — the multi-iteration twin the north rule's 'per-vertex
@@ -783,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_scores": _q_linkpred,
         "random_walks_l3": _q_walks,
         "pagerank_iter5": _q_pagerank_iter5,
+        "graph_profile": _q_graph_profile,
+        "top_terms_per_doc": _q_top_terms,
     }
 
 
@@ -1603,6 +1625,67 @@ CROSS JOIN nd n CROSS JOIN ad a
 """,
         "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
         "pagerank_iter5": _pagerank_oracle_sql(iters=5),
+        "top_terms_per_doc": """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY doc_id, token
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM terms),
+dfq AS (SELECT token, COUNT(*) AS df_docs FROM terms GROUP BY token),
+scored AS (
+  SELECT t.doc_id, t.token,
+         ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df_docs), 6) AS score
+  FROM terms t JOIN dfq d USING (token) CROSS JOIN nd n
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC
+         ) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, score, rnk FROM ranked WHERE rnk <= 3
+""",
+        "graph_profile": f"""
+WITH {_SQL_G},
+d AS (SELECT DISTINCT src, dst FROM g_dir WHERE src <> dst),
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d
+),
+verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM d UNION ALL SELECT dst FROM d
+  )
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM simple
+  UNION ALL SELECT b AS src, a AS dst FROM simple
+),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+nv AS (SELECT COUNT(*) AS n_vertices FROM verts),
+md AS (SELECT COUNT(*) AS n_edges_directed FROM d),
+ms AS (SELECT COUNT(*) AS n_edges_simple FROM simple),
+rec AS (
+  SELECT COUNT(*) AS n_recip
+  FROM d e JOIN d r ON e.src = r.dst AND e.dst = r.src
+),
+aso AS (
+  SELECT corr(CAST(du.deg AS DOUBLE), CAST(dv.deg AS DOUBLE)) AS r_aso
+  FROM sym s JOIN deg du ON s.src = du.vid JOIN deg dv ON s.dst = dv.vid
+)
+SELECT nv.n_vertices, md.n_edges_directed, ms.n_edges_simple,
+       ROUND(ms.n_edges_simple
+             / (nv.n_vertices * (nv.n_vertices - 1) / 2.0), 6) AS density,
+       ROUND(CAST(rec.n_recip AS DOUBLE) / md.n_edges_directed, 6)
+         AS reciprocity,
+       ROUND(aso.r_aso, 6) AS assortativity
+FROM nv, md, ms, rec, aso
+""",
         "sessions_30m": """
 WITH brk AS (
   SELECT user_id, ts, value, event_id,

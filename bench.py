@@ -180,6 +180,8 @@ def main() -> None:
         "bm25_scores",
         "linkpred_scores",
         "random_walks_l3",
+        "graph_profile",
+        "top_terms_per_doc",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

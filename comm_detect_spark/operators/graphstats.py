@@ -1,0 +1,110 @@
+"""Whole-graph scalar profile: size, density, reciprocity, assortativity.
+
+No single reference twin (the reference prints |V|/|E| ad hoc at load
+time); these are the standard first-look diagnostics a
+web-graph pipeline computes before heavier kernels — reciprocity and degree
+assortativity (Newman, PRL'02) in particular decide hub handling (a
+disassortative hub-and-spoke web graph is the skew case every join guard in
+this repo is built for).
+
+Everything is built-in JVM aggregation; the result is ONE row assembled by
+cross-joining broadcast single-row aggregates — no driver-side collect in
+the plan, so the profile composes into larger jobs.
+
+100 TB shape: three edge-sized shuffles total (distinct simple edges,
+degree agg, the reciprocity self-join on the reversed key), each
+map-side-combined; corr() is Spark's single-pass covariance aggregate.
+The reciprocity join is equi on (dst, src) — same skew class as every
+other edge join here, AQE-split. Nothing is O(n^2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One row: (n_vertices, n_edges_directed, n_edges_simple, density,
+    reciprocity, assortativity), self-loops excluded throughout.
+
+    density       = n_edges_simple / (n * (n-1) / 2)
+    reciprocity   = |{(u,v) in E_dir : (v,u) in E_dir}| / |E_dir|
+    assortativity = Pearson corr of (deg(u), deg(v)) over the symmetrized
+                    simple edge list (Newman's r; each undirected edge
+                    contributes both orientations, which symmetrizes the
+                    correlation without a half-weight convention).
+    Floats round to 6 (cross-engine convention)."""
+    d = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    simple = d.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    verts = (
+        d.select(F.col("src").alias("vid"))
+        .unionAll(d.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    sym = simple.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(simple.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+    nv = verts.agg(F.count(F.lit(1)).alias("n_vertices"))
+    md = d.agg(F.count(F.lit(1)).alias("n_edges_directed"))
+    ms = simple.agg(F.count(F.lit(1)).alias("n_edges_simple"))
+    rec = (
+        d.alias("e")
+        .join(
+            d.alias("r"),
+            (F.col("e.src") == F.col("r.dst"))
+            & (F.col("e.dst") == F.col("r.src")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    aso = (
+        sym.join(deg.withColumnRenamed("vid", "src"), "src")
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.select(F.col("vid").alias("dst"), F.col("deg").alias("deg_v")),
+            "dst",
+        )
+        .agg(
+            # corr() raises DIVIDE_BY_ZERO under ANSI when a degree series
+            # is constant (regular graph); build Pearson from population
+            # moments with try_divide so zero variance -> NULL, which is
+            # DuckDB corr()'s semantics for the same input
+            F.try_divide(
+                F.covar_pop(
+                    F.col("deg_u").cast("double"),
+                    F.col("deg_v").cast("double"),
+                ),
+                F.stddev_pop(F.col("deg_u").cast("double"))
+                * F.stddev_pop(F.col("deg_v").cast("double")),
+            ).alias("r_aso")
+        )
+    )
+    return (
+        nv.crossJoin(F.broadcast(md))
+        .crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(aso))
+        .select(
+            "n_vertices",
+            "n_edges_directed",
+            "n_edges_simple",
+            F.round(
+                F.col("n_edges_simple")
+                / (F.col("n_vertices") * (F.col("n_vertices") - 1) / 2.0),
+                6,
+            ).alias("density"),
+            F.round(F.col("n_recip") / F.col("n_edges_directed"), 6).alias(
+                "reciprocity"
+            ),
+            F.round("r_aso", 6).alias("assortativity"),
+        )
+    )

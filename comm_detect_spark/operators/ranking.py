@@ -20,7 +20,7 @@ final ln()/divide, and driver-checked outputs round to 6 decimals
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,6 +67,28 @@ def tfidf(
         F.round(
             F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 6
         ).alias("score"),
+    )
+
+
+def top_terms_per_doc(scored: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, token, score, rnk): the k highest-scored terms of every
+    document from a (doc_id, token, ..., score) table — the keyword-
+    extraction step downstream of tfidf/bm25.
+
+    Deterministic rank: (score DESC, token ASC) — scores are already
+    rounded to 6 by the producers, so ties (and the whole ordering) are
+    engine-independent. One window over doc_id: Spark's WindowExec runs
+    per-partition after a hash exchange on the partition key — top-k per
+    group at 100 TB is exactly this plan (rank + filter pushes the heap
+    into the sort), no driver involvement."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.select(
+            "doc_id", "token", "score", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= k)
     )
 
 

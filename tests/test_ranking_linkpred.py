@@ -7,7 +7,12 @@ import math
 from pyspark.sql import functions as F
 
 from comm_detect_spark.operators.linkpred import link_prediction_scores
-from comm_detect_spark.operators.ranking import bm25, doc_terms, tfidf
+from comm_detect_spark.operators.ranking import (
+    bm25,
+    doc_terms,
+    tfidf,
+    top_terms_per_doc,
+)
 from tests.conftest import edges_df
 
 
@@ -61,6 +66,33 @@ class TestTfIdf:
         assert got[(3, "b")] == score(3, 2, 3)
         # a common term scores below a rare one at equal tf and dl
         assert got[(2, "a")] < got[(2, "c")]
+
+    def test_top_terms(self, spark):
+        got = {
+            (r["doc_id"], r["rnk"]): r["token"]
+            for r in top_terms_per_doc(
+                tfidf(self._docs(spark)), k=2
+            ).collect()
+        }
+        # doc1: a (tf 2) over b (tf 1); doc2: rare c over common a;
+        # doc3 has a single distinct term
+        assert got == {
+            (1, 1): "a", (1, 2): "b",
+            (2, 1): "c", (2, 2): "a",
+            (3, 1): "b",
+        }
+
+    def test_top_terms_tie_breaks_by_token(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "x z")], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["rnk"]): r["token"]
+            for r in top_terms_per_doc(tfidf(docs), k=2).collect()
+        }
+        # y and z are unique to their doc (same score); x common. Within
+        # doc 1, y beats x on score; ties inside a doc break token-ASC
+        assert got[(1, 1)] == "y" and got[(2, 1)] == "z"
 
 
 def _rand_graph(n=24, out=3):
