@@ -661,6 +661,80 @@ def _q_graph_profile(spark, sf_dir):
     return graph_profile(_g_directed(spark, sf_dir))
 
 
+def _q_mis_r3(spark, sf_dir):
+    """Three deterministic Luby MIS rounds on the G graph: hash-priority
+    local minima enter, their neighbors die. The fixed (h60, vid)
+    priority order makes every round SQL-replayable — the oracle unrolls
+    the identical three rounds with NOT EXISTS local-minimum tests."""
+    from comm_detect_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        spark, _g_directed(spark, sf_dir), rounds=3, seed=42
+    )
+
+
+def _mis_oracle_sql(rounds: int = 3, seed: int = 42) -> str:
+    """Unrolled replay of maximal_independent_set (mis.py): u{r} is the
+    undecided set after round r; a vertex wins round r iff no undecided
+    neighbor precedes it in the (p, vid) order."""
+    pexpr = (
+        f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{seed}:', "
+        f"CAST(vid AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    ctes = [
+        f"""d AS (SELECT DISTINCT src, dst FROM g_dir WHERE src <> dst),
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d
+),
+adj AS (
+  SELECT a AS vid, b AS nbr FROM simple
+  UNION ALL SELECT b AS vid, a AS nbr FROM simple
+),
+verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM g_dir UNION ALL SELECT dst FROM g_dir
+  )
+),
+u0 AS (SELECT vid, {pexpr} AS p FROM verts)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""w{r} AS (
+  SELECT u.vid FROM u{p} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj a JOIN u{p} n ON a.nbr = n.vid
+    WHERE a.vid = u.vid
+      AND (n.p < u.p OR (n.p = u.p AND n.vid < u.vid))
+  )
+),
+k{r} AS (
+  SELECT DISTINCT a.nbr AS vid
+  FROM adj a
+  JOIN w{r} w ON a.vid = w.vid
+  JOIN u{p} un ON a.nbr = un.vid
+  WHERE a.nbr NOT IN (SELECT vid FROM w{r})
+),
+u{r} AS (
+  SELECT u.vid, u.p FROM u{p} u
+  WHERE u.vid NOT IN (SELECT vid FROM w{r})
+    AND u.vid NOT IN (SELECT vid FROM k{r})
+)"""
+        )
+    wins = "\nUNION ALL\n".join(
+        f"SELECT vid, 1 AS state FROM w{r}" for r in range(1, rounds + 1)
+    )
+    kills = "\nUNION ALL\n".join(
+        f"SELECT vid, 0 AS state FROM k{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {_SQL_G},\n"
+        + ",\n".join(ctes)
+        + f"\n{wins}\nUNION ALL\n{kills}\n"
+        + f"UNION ALL\nSELECT vid, -1 AS state FROM u{rounds}"
+    )
+
+
 def _q_pagerank_iter5(spark, sf_dir):
     """Five damped PageRank iterations to the SAME per-vertex-score bar as
     iter1 (round 9) — the multi-iteration twin the north rule's 'per-vertex
@@ -805,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_iter5": _q_pagerank_iter5,
         "graph_profile": _q_graph_profile,
         "top_terms_per_doc": _q_top_terms,
+        "mis_r3": _q_mis_r3,
     }
 
 
@@ -1624,6 +1699,7 @@ JOIN dl l USING (doc_id)
 CROSS JOIN nd n CROSS JOIN ad a
 """,
         "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
+        "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "pagerank_iter5": _pagerank_oracle_sql(iters=5),
         "top_terms_per_doc": """
 WITH toks AS (

@@ -182,6 +182,7 @@ def main() -> None:
         "random_walks_l3",
         "graph_profile",
         "top_terms_per_doc",
+        "mis_r3",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
