@@ -735,6 +735,60 @@ u{r} AS (
     )
 
 
+def _q_ktruss(spark, sf_dir):
+    """Two peel rounds of the 4-truss on the T graph (each edge needs >= 2
+    triangles, support recomputed per round); the oracle unrolls both
+    rounds with the same id-ordered triangle enumeration — support counts
+    are orientation-invariant, so the Spark side's degree-ordered
+    enumeration (triangles.py) yields identical rows."""
+    from comm_detect_spark.operators.truss import k_truss
+
+    return k_truss(spark, _t_edges(spark, sf_dir), k=4, rounds=2)
+
+
+def _truss_oracle_sql(k: int = 4, rounds: int = 2) -> str:
+    """Unrolled replay of k_truss (truss.py): per round, enumerate
+    triangles on the surviving edge set, charge each to its 3 edges,
+    filter support >= k-2."""
+    thresh = k - 2
+    head = """t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst, COUNT(*) AS weight
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM t_dir WHERE src <> dst
+)"""
+    ctes = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""tri{r} AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e{p} e1
+  JOIN e{p} e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e{p} e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+sup{r} AS (
+  SELECT a, b, COUNT(*) AS support FROM (
+    SELECT u AS a, v AS b FROM tri{r}
+    UNION ALL SELECT u AS a, w AS b FROM tri{r}
+    UNION ALL SELECT v AS a, w AS b FROM tri{r}
+  ) GROUP BY a, b
+),
+e{r} AS (
+  SELECT s.a, s.b, s.support
+  FROM sup{r} s JOIN e{p} e ON s.a = e.a AND s.b = e.b
+  WHERE s.support >= {thresh}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a, b, support FROM e{rounds}"
+    )
+
+
 def _q_pagerank_iter5(spark, sf_dir):
     """Five damped PageRank iterations to the SAME per-vertex-score bar as
     iter1 (round 9) — the multi-iteration twin the north rule's 'per-vertex
@@ -880,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_profile": _q_graph_profile,
         "top_terms_per_doc": _q_top_terms,
         "mis_r3": _q_mis_r3,
+        "ktruss_4_r2": _q_ktruss,
     }
 
 
@@ -1700,6 +1755,7 @@ CROSS JOIN nd n CROSS JOIN ad a
 """,
         "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
+        "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "pagerank_iter5": _pagerank_oracle_sql(iters=5),
         "top_terms_per_doc": """
 WITH toks AS (
