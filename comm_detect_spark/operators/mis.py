@@ -64,9 +64,14 @@ def maximal_independent_set(
         )
         .distinct()
     )
+    # referenced twice per round (undecided-adjacency join + kill join)
+    # across all rounds — persist or the distinct/union subplan recomputes
+    # 2*rounds times
     adj = sym.select(
         F.col("a").alias("vid"), F.col("b").alias("nbr")
-    ).unionAll(sym.select(F.col("b").alias("vid"), F.col("a").alias("nbr")))
+    ).unionAll(
+        sym.select(F.col("b").alias("vid"), F.col("a").alias("nbr"))
+    ).persist()
     verts = (
         edges.select(F.col("src").alias("vid"))
         .unionAll(edges.select(F.col("dst").alias("vid")))

@@ -81,9 +81,11 @@ def random_walks(
             f" cast(dst as string))), 1, 15), 16, 10), dst)"
         )
         e = e.withColumn("_rn", w).where(F.col("_rn") <= max_degree).drop("_rn")
+    # the adjacency is referenced by every step's join — persist it or the
+    # groupBy/sort_array subplan recomputes walk_length times
     adj = e.groupBy("src").agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs")
-    )
+    ).persist()
 
     verts = (
         edges.select(F.col("src").cast("long").alias("vid"))
@@ -125,6 +127,12 @@ def random_walks(
                 F.col("v").alias("vid"),
             )
         )
+        # long walks: cut the frontier's join chain and the union tree
+        # every 8 steps (plan depth otherwise grows O(L) per branch and
+        # O(L^2) nodes total — the driver-loop blowup, plans/driver.py)
+        if t % 8 == 0 and t < walk_length:
+            frontier = frontier.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=True)
     return out
 
 

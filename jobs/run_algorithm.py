@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "ppr", "hits", "cc", "scc", "anf",
                              "lpa_sync", "lpa_async", "louvain", "triangles",
-                             "kcore", "clustering"])
+                             "kcore", "clustering", "walks", "mis", "ktruss",
+                             "profile", "linkpred"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -54,6 +55,20 @@ def main():
                     help="--algo anf: neighborhood radius")
     ap.add_argument("--trials", type=int, default=32,
                     help="--algo anf: FM trials (variance ~ 1/sqrt)")
+    ap.add_argument("--walk-length", type=int, default=10,
+                    help="--algo walks: steps per walk")
+    ap.add_argument("--walks-per-vertex", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="--algo walks/mis: deterministic hash seed")
+    ap.add_argument("--rounds", type=int, default=None,
+                    help="--algo mis/ktruss: fixed round count "
+                         "(ktruss default: peel to fixpoint)")
+    ap.add_argument("--max-degree", type=int, default=None,
+                    help="--algo walks: hash-subsample hub neighbor lists")
+    ap.add_argument("--min-common", type=int, default=2,
+                    help="--algo linkpred: min shared neighbors to emit")
+    ap.add_argument("--max-center-degree", type=int, default=None,
+                    help="--algo linkpred: drop hyper-hub wedge centers")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"comm-detect-{args.algo}").getOrCreate()
@@ -171,6 +186,37 @@ def main():
         sk = anf_sketches(spark, edges, verts, hops=args.hops,
                           trials=args.trials)
         out = anf_estimates(sk, args.trials)
+    elif args.algo == "walks":
+        from comm_detect_spark.operators.walks import random_walks
+
+        out = random_walks(
+            edges, walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+            max_degree=args.max_degree,
+        )
+    elif args.algo == "mis":
+        from comm_detect_spark.operators.mis import maximal_independent_set
+
+        out = maximal_independent_set(
+            spark, edges, rounds=args.rounds or 10, seed=args.seed
+        )
+    elif args.algo == "ktruss":
+        from comm_detect_spark.operators.truss import k_truss
+
+        out = k_truss(spark, edges, k=args.k, rounds=args.rounds)
+    elif args.algo == "profile":
+        from comm_detect_spark.operators.graphstats import graph_profile
+
+        out = graph_profile(edges)
+    elif args.algo == "linkpred":
+        from comm_detect_spark.operators.linkpred import (
+            link_prediction_scores,
+        )
+
+        out = link_prediction_scores(
+            edges, max_center_degree=args.max_center_degree,
+            min_common=args.min_common,
+        )
     else:
         out = triangle_counts(edges)
 

@@ -227,3 +227,43 @@ def test_spark_submit_ppr_with_seeds(spark, jazz, jazz_df, tmp_path):
     for r in spark.read.parquet(out_path).collect():
         got[r["vid"]] = r["rank"]
     assert np.allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_spark_submit_ktruss_end_to_end(spark, tmp_path, jazz, jazz_df):
+    """--algo ktruss (fixpoint peel) in a separate JVM; the surviving edge
+    set must equal the in-process operator's on the same input."""
+    from comm_detect_spark.operators.truss import k_truss
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "comm_detect_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, cwd=root,
+    )
+    edges_path = str(tmp_path / "edges.parquet")
+    jazz_df.write.mode("overwrite").parquet(edges_path)
+    out_path = str(tmp_path / "truss")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path,
+         os.path.join(root, "jobs", "run_algorithm.py"),
+         "--algo", "ktruss", "--k", "5", "--edges", edges_path,
+         "--out", out_path],
+        check=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(spark, jazz_df, k=5).collect()
+    }
+    assert got == want and len(got) > 0
