@@ -735,6 +735,26 @@ u{r} AS (
     )
 
 
+def _q_partition_quality(spark, sf_dir):
+    """Edge-cut + load-skew diagnostic for modulo-32 vertex partitioning
+    of the G graph — the pre-flight a 100 TB deployment runs before
+    pinning a partition count; pmod keeps the assignment replayable."""
+    from comm_detect_spark.operators.graphstats import partition_quality
+
+    return partition_quality(_g_directed(spark, sf_dir), num_partitions=32)
+
+
+def _q_segment_dedup(spark, sf_dir):
+    """C4-style cross-corpus segment dedup: every 8-token segment keeps
+    only its global first occurrence, documents reassemble from the
+    survivors. The winner rule (min (doc_id, seg_idx) per md5(segment))
+    and the ordered reassembly are both exactly SQL-replayable."""
+    from comm_detect_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_dedup(docs, tokens_per_segment=8)
+
+
 def _q_ktruss(spark, sf_dir):
     """Two peel rounds of the 4-truss on the T graph (each edge needs >= 2
     triangles, support recomputed per round); the oracle unrolls both
@@ -935,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_doc": _q_top_terms,
         "mis_r3": _q_mis_r3,
         "ktruss_4_r2": _q_ktruss,
+        "segment_dedup": _q_segment_dedup,
+        "partition_quality": _q_partition_quality,
     }
 
 
@@ -1756,6 +1778,57 @@ CROSS JOIN nd n CROSS JOIN ad a
         "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
+        "partition_quality": f"""
+WITH {_SQL_G},
+d AS (SELECT DISTINCT src, dst FROM g_dir),
+flagged AS (
+  SELECT src,
+         CASE WHEN src % 32 <> dst % 32 THEN 1 ELSE 0 END AS cut
+  FROM d
+),
+totals AS (
+  SELECT COUNT(*) AS n_edges, SUM(cut) AS cut_edges FROM flagged
+),
+loads AS (
+  SELECT MAX(load) AS max_load, AVG(load) AS avg_load FROM (
+    SELECT src % 32 AS pid, COUNT(*) AS load FROM flagged GROUP BY 1
+  )
+)
+SELECT 32 AS num_partitions, t.n_edges, CAST(t.cut_edges AS BIGINT) AS cut_edges,
+       ROUND(CAST(t.cut_edges AS DOUBLE) / t.n_edges, 6) AS cut_fraction,
+       l.max_load,
+       ROUND(l.avg_load, 6) AS avg_load,
+       ROUND(CAST(l.max_load AS DOUBLE) / l.avg_load, 6) AS skew
+FROM totals t CROSS JOIN loads l
+""",
+        "segment_dedup": """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, ws[CAST(u.i AS INT) + 1] AS tok
+  FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+    FROM documents
+  ), UNNEST(range(len(ws))) AS u(i)
+  WHERE ws[CAST(u.i AS INT) + 1] <> ''
+),
+segs AS (
+  SELECT doc_id, CAST(FLOOR(pos / 8) AS BIGINT) AS seg_idx,
+         STRING_AGG(tok, ' ' ORDER BY pos) AS segment
+  FROM toks GROUP BY 1, 2
+),
+winners AS (
+  SELECT doc_id, seg_idx, segment FROM (
+    SELECT s.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(segment) ORDER BY doc_id, seg_idx
+           ) AS rn
+    FROM segs s
+  ) WHERE rn = 1
+)
+SELECT doc_id,
+       STRING_AGG(segment, ' ' ORDER BY seg_idx) AS text_clean,
+       COUNT(*) AS n_kept
+FROM winners GROUP BY doc_id
+""",
         "pagerank_iter5": _pagerank_oracle_sql(iters=5),
         "top_terms_per_doc": """
 WITH toks AS (

@@ -184,6 +184,8 @@ def main() -> None:
         "top_terms_per_doc",
         "mis_r3",
         "ktruss_4_r2",
+        "segment_dedup",
+        "partition_quality",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

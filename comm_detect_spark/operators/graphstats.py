@@ -108,3 +108,54 @@ def graph_profile(edges: DataFrame) -> DataFrame:
             F.round("r_aso", 6).alias("assortativity"),
         )
     )
+
+
+def partition_quality(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """One row: (num_partitions, n_edges, cut_edges, cut_fraction,
+    max_load, avg_load, skew) for modulo vertex partitioning — the
+    shuffle-planning diagnostic run BEFORE committing a partition count
+    on a new edge table: cut_fraction is the fraction of edges whose
+    endpoints land in different partitions (each cut edge is one network
+    hop per iteration in every message-passing kernel here), and skew
+    (max/avg partition out-degree load) predicts the straggler factor.
+
+    Partition id is pmod(vid, P), not Spark's murmur3 hash partitioner —
+    deliberately: the modulo assignment is engine-independent (the DuckDB
+    oracle replays it exactly), and for the dense minted vertex ids the
+    repo's loaders produce (graph/core.py) modulo IS a uniform
+    partitioner. The murmur3 distribution differs per engine and would
+    make the diagnostic unreplayable.
+
+    Cost: one scan, two hash aggs (edge-level cut flags, per-partition
+    loads), one-row result — safe to run on the full 100 TB table."""
+    d = edges.select("src", "dst").distinct()
+    p = F.lit(num_partitions)
+    flagged = d.select(
+        "src",
+        (F.pmod(F.col("src"), p) != F.pmod(F.col("dst"), p))
+        .cast("int")
+        .alias("cut"),
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("cut").alias("cut_edges"),
+    )
+    loads = (
+        flagged.groupBy(F.pmod(F.col("src"), p).alias("pid"))
+        .agg(F.count(F.lit(1)).alias("load"))
+        .agg(
+            F.max("load").alias("max_load"),
+            F.avg("load").alias("avg_load"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(loads)).select(
+        p.cast("int").alias("num_partitions"),
+        "n_edges",
+        "cut_edges",
+        F.round(F.col("cut_edges") / F.col("n_edges"), 6).alias(
+            "cut_fraction"
+        ),
+        "max_load",
+        F.round("avg_load", 6).alias("avg_load"),
+        F.round(F.col("max_load") / F.col("avg_load"), 6).alias("skew"),
+    )

@@ -43,3 +43,28 @@ class TestGraphProfile:
         r = _profile(spark, pairs, 6)
         assert r["assortativity"] < -0.5
         assert r["reciprocity"] == 0.0
+
+
+class TestPartitionQuality:
+    def test_hand_fixture(self, spark):
+        from comm_detect_spark.operators.graphstats import partition_quality
+
+        # P=2: parity partitioning. edges (0,2),(1,3) intra; (0,1),(2,3) cut
+        pairs = [(0, 2), (1, 3), (0, 1), (2, 3)]
+        e = edges_df(
+            spark, 4, [a for a, _ in pairs], [b for _, b in pairs],
+            [1] * len(pairs),
+        )
+        r = partition_quality(e, num_partitions=2).collect()[0]
+        assert r["n_edges"] == 4 and r["cut_edges"] == 2
+        assert r["cut_fraction"] == 0.5
+        # out-loads: pid0 holds srcs 0,0,2 -> 3; pid1 holds src 1 -> 1
+        assert r["max_load"] == 3 and r["avg_load"] == 2.0
+        assert r["skew"] == 1.5
+
+    def test_single_partition_no_cut(self, spark):
+        from comm_detect_spark.operators.graphstats import partition_quality
+
+        e = edges_df(spark, 3, [0, 1], [1, 2], [1, 1])
+        r = partition_quality(e, num_partitions=1).collect()[0]
+        assert r["cut_fraction"] == 0.0 and r["skew"] == 1.0

@@ -820,3 +820,53 @@ class TestIvf:
         ]
         exact = [r["id"] for r in brute_force_topk(embeddings, q, k=5).collect()]
         assert approx == exact
+
+
+class TestSegmentDedup:
+    def _docs(self, spark):
+        # 2-token segments: doc1 = [a b][c d], doc2 = [c d][e f] (segment
+        # "c d" duplicates doc1's), doc3 = [a b] (fully duplicated)
+        rows = [
+            (1, "a b c d"),
+            (2, "c d e f"),
+            (3, "a b"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_wins(self, spark):
+        from comm_detect_spark.operators.dedup import segment_dedup
+
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"])
+            for r in segment_dedup(
+                self._docs(spark), tokens_per_segment=2
+            ).collect()
+        }
+        # doc1 keeps both segments; doc2 loses "c d"; doc3 vanishes
+        assert got == {1: ("a b c d", 2), 2: ("e f", 1)}
+
+    def test_no_duplicates_is_identity(self, spark):
+        from comm_detect_spark.operators.dedup import segment_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "p q r s"), (2, "t u v w")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in segment_dedup(docs, tokens_per_segment=2).collect()
+        }
+        assert got == {1: "p q r s", 2: "t u v w"}
+
+    def test_short_tail_segment_kept(self, spark):
+        from comm_detect_spark.operators.dedup import segment_dedup
+
+        # 3 tokens with 2-token segments -> tail segment of 1 token
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "z")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in segment_dedup(docs, tokens_per_segment=2).collect()
+        }
+        # doc2's single segment "z" duplicates doc1's tail
+        assert got == {1: "x y z"}
