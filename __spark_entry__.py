@@ -735,6 +735,17 @@ u{r} AS (
     )
 
 
+def _q_anf_hop_profile(spark, sf_dir):
+    """Per-hop FM b-sums (hops 1..3) — the integer-exact distance profile
+    harmonic/closeness centrality integrates; same md5-seeded sketches as
+    anf_b3, captured after every round instead of only the last."""
+    from comm_detect_spark.operators.anf import anf_hop_b_sums
+
+    sym = _g_sym(spark, sf_dir)
+    verts = _g_verts(spark, sf_dir)
+    return anf_hop_b_sums(spark, sym, verts, hops=3, trials=4)
+
+
 def _q_partition_quality(spark, sf_dir):
     """Edge-cut + load-skew diagnostic for modulo-32 vertex partitioning
     of the G graph — the pre-flight a 100 TB deployment runs before
@@ -957,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_4_r2": _q_ktruss,
         "segment_dedup": _q_segment_dedup,
         "partition_quality": _q_partition_quality,
+        "anf_hop_profile": _q_anf_hop_profile,
     }
 
 
@@ -1421,6 +1433,57 @@ anf_s3 AS (
   FROM anf_s2 i LEFT JOIN anf_n3 n ON n.vid = i.vid AND n.trial = i.trial
 )
 SELECT vid,
+       CAST(SUM(CAST(ROUND(LOG2((-1 - sketch) & (sketch + 1))) AS BIGINT))
+            AS BIGINT) AS b_sum
+FROM anf_s3 GROUP BY vid
+""",
+        "anf_hop_profile": f"""
+WITH {_SQL_G},
+anf_trials AS (SELECT UNNEST([0, 1, 2, 3]) AS trial),
+anf_s0 AS (
+  SELECT vid, trial, h & -h AS sketch FROM (
+    SELECT v.vid, t.trial,
+           CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(
+             CAST(v.vid AS VARCHAR), ':', CAST(t.trial AS VARCHAR)
+           )), 1, 15)) AS BIGINT) AS h
+    FROM g_verts v CROSS JOIN anf_trials t
+  )
+),
+anf_n1 AS (
+  SELECT e.dst AS vid, s.trial, BIT_OR(s.sketch) AS nsk
+  FROM g_sym e JOIN anf_s0 s ON s.vid = e.src GROUP BY 1, 2
+),
+anf_s1 AS (
+  SELECT i.vid, i.trial, i.sketch | COALESCE(n.nsk, 0) AS sketch
+  FROM anf_s0 i LEFT JOIN anf_n1 n ON n.vid = i.vid AND n.trial = i.trial
+),
+anf_n2 AS (
+  SELECT e.dst AS vid, s.trial, BIT_OR(s.sketch) AS nsk
+  FROM g_sym e JOIN anf_s1 s ON s.vid = e.src GROUP BY 1, 2
+),
+anf_s2 AS (
+  SELECT i.vid, i.trial, i.sketch | COALESCE(n.nsk, 0) AS sketch
+  FROM anf_s1 i LEFT JOIN anf_n2 n ON n.vid = i.vid AND n.trial = i.trial
+),
+anf_n3 AS (
+  SELECT e.dst AS vid, s.trial, BIT_OR(s.sketch) AS nsk
+  FROM g_sym e JOIN anf_s2 s ON s.vid = e.src GROUP BY 1, 2
+),
+anf_s3 AS (
+  SELECT i.vid, i.trial, i.sketch | COALESCE(n.nsk, 0) AS sketch
+  FROM anf_s2 i LEFT JOIN anf_n3 n ON n.vid = i.vid AND n.trial = i.trial
+)
+SELECT vid, 1 AS hop,
+       CAST(SUM(CAST(ROUND(LOG2((-1 - sketch) & (sketch + 1))) AS BIGINT))
+            AS BIGINT) AS b_sum
+FROM anf_s1 GROUP BY vid
+UNION ALL
+SELECT vid, 2 AS hop,
+       CAST(SUM(CAST(ROUND(LOG2((-1 - sketch) & (sketch + 1))) AS BIGINT))
+            AS BIGINT) AS b_sum
+FROM anf_s2 GROUP BY vid
+UNION ALL
+SELECT vid, 3 AS hop,
        CAST(SUM(CAST(ROUND(LOG2((-1 - sketch) & (sketch + 1))) AS BIGINT))
             AS BIGINT) AS b_sum
 FROM anf_s3 GROUP BY vid

@@ -186,6 +186,7 @@ def main() -> None:
         "ktruss_4_r2",
         "segment_dedup",
         "partition_quality",
+        "anf_hop_profile",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # E[2^b] correction constant from Flajolet-Martin (phi)
@@ -244,3 +244,119 @@ def effective_diameter(
             return prev_h + (target - prev_n) / (n - prev_n) * (h - prev_h)
         prev_h, prev_n = h, n
     return float(nf[-1][0])
+
+
+def anf_hop_b_sums(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    hops: int,
+    trials: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vid BIGINT, hop INT, b_sum BIGINT) for hop = 1..hops — the per-hop
+    FM neighborhood profile. Same propagation as anf_sketches, but the
+    integer b_sum is captured after EVERY round instead of only the last,
+    so the whole distance profile (the input to harmonic/closeness
+    centrality) is driver-hashable cross-engine. Cost is identical to
+    anf_sketches plus one map-side-combined agg per hop."""
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = edges.select("src", "dst").repartition(p, "src").persist()
+    e.count()
+    sk = (
+        fm_sketch_init(vertices.select("vid"), trials)
+        .repartition(p, "vid")
+        .persist()
+    )
+    sk.count()
+    out = None
+    for h in range(1, hops + 1):
+        nbr = (
+            e.join(sk.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"), "trial")
+            .agg(F.bit_or("sketch").alias("nsk"))
+        )
+        new_sk = (
+            sk.join(nbr, ["vid", "trial"], "left")
+            .select(
+                "vid",
+                "trial",
+                F.expr("sketch | coalesce(nsk, CAST(0 AS BIGINT))").alias(
+                    "sketch"
+                ),
+            )
+            .repartition(p, "vid")
+        )
+        if h % 3 == 0:
+            new_sk = new_sk.localCheckpoint(eager=False)
+        new_sk = new_sk.persist()
+        new_sk.count()
+        sk.unpersist()
+        sk = new_sk
+        hop_b = anf_b_sum(sk).select(
+            "vid", F.lit(h).cast("int").alias("hop"), "b_sum"
+        )
+        out = hop_b if out is None else out.unionAll(hop_b)
+    return out.select("vid", "hop", "b_sum")
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_hops: int,
+    trials: int = 32,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vid, harmonic): approximate harmonic centrality
+    H(v) = sum over u != v of 1/d(u, v), estimated from the FM profile as
+    sum_h (N_hat_h(v) - N_hat_{h-1}(v)) / h — HyperANF's centrality recipe
+    (Boldi & Vigna, WWW'11) on FM sketches. Sketches only ever gain bits,
+    so N_hat is monotone per vertex and every difference term is >= 0.
+
+    Float path: pytest-gated against the exact pure-Python FM simulation
+    (the ANF testing convention), not driver-hashed — 2^(b/t) is not
+    bit-stable cross-engine. Edges propagate src -> dst; feed a
+    symmetrized table for undirected semantics."""
+    profile = anf_hop_b_sums(
+        spark, edges, vertices, max_hops, trials, num_partitions
+    )
+    est = profile.select(
+        "vid",
+        "hop",
+        (
+            F.pow(F.lit(2.0), F.col("b_sum") / F.lit(float(trials)))
+            / F.lit(FM_PHI)
+        ).alias("est"),
+    )
+    # hop-0 estimate: the self-only sketch has exactly bit h&-h set per
+    # trial; its expected b is ~0-biased the same way as every later hop,
+    # so we subtract the MEASURED hop-0 estimate, not the ideal 1.0 —
+    # differential use cancels the FM bias (the ANF paper's argument)
+    init = fm_sketch_init(vertices.select("vid"), trials)
+    est0 = init.groupBy("vid").agg(
+        F.sum(
+            F.round(F.log2(F.expr("(-1 - sketch) & (sketch + 1)"))).cast(
+                "bigint"
+            )
+        ).alias("b_sum")
+    ).select(
+        "vid",
+        F.lit(0).cast("int").alias("hop"),
+        (
+            F.pow(F.lit(2.0), F.col("b_sum") / F.lit(float(trials)))
+            / F.lit(FM_PHI)
+        ).alias("est"),
+    )
+    allest = est0.unionAll(est)
+    w = Window.partitionBy("vid").orderBy("hop")
+    diffs = allest.select(
+        "vid",
+        "hop",
+        (F.col("est") - F.lag("est", 1).over(w)).alias("gain"),
+    ).where(F.col("hop") > 0)
+    return diffs.groupBy("vid").agg(
+        F.sum(F.col("gain") / F.col("hop")).alias("harmonic")
+    )

@@ -168,3 +168,83 @@ def test_effective_diameter_interpolation():
     # plateau: q=1.0 target 100 reached exactly at h=3
     assert abs(effective_diameter(nf, q=1.0) - 3.0) < 1e-9
     assert effective_diameter([], q=0.9) == 0.0
+
+
+def _py_hop_b_sums(vids, edges, hops, trials):
+    sk = _py_init(vids, trials)
+    out = {}
+    for h in range(1, hops + 1):
+        new = dict(sk)
+        for s, d in edges:
+            for t in range(trials):
+                new[(d, t)] |= sk[(s, t)]
+        sk = new
+        for v, b in _py_b_sum(sk, vids, trials).items():
+            out[(v, h)] = b
+    return out
+
+
+def test_hop_b_sums_exact(spark, small_graph):
+    from comm_detect_spark.operators.anf import anf_hop_b_sums
+
+    vids, edges, e, v = small_graph
+    got = {
+        (r["vid"], r["hop"]): r["b_sum"]
+        for r in anf_hop_b_sums(spark, e, v, hops=3, trials=4).collect()
+    }
+    assert got == _py_hop_b_sums(vids, edges, 3, 4)
+
+
+def test_harmonic_matches_simulation(spark, small_graph):
+    """harmonic_centrality == the same formula computed from the exact
+    pure-Python FM simulation (float tolerance only)."""
+    import math
+
+    from comm_detect_spark.operators.anf import FM_PHI, harmonic_centrality
+
+    vids, edges, e, v = small_graph
+    trials, hops = 8, 3
+    got = {
+        r["vid"]: r["harmonic"]
+        for r in harmonic_centrality(
+            spark, e, v, max_hops=hops, trials=trials
+        ).collect()
+    }
+    sk = _py_init(vids, trials)
+    est = {(v_, 0): 2 ** (_py_b_sum(sk, vids, trials)[v_] / trials) / FM_PHI
+           for v_ in vids}
+    cur = sk
+    for h in range(1, hops + 1):
+        new = dict(cur)
+        for s, d in edges:
+            for t in range(trials):
+                new[(d, t)] |= cur[(s, t)]
+        cur = new
+        for v_, b in _py_b_sum(cur, vids, trials).items():
+            est[(v_, h)] = 2 ** (b / trials) / FM_PHI
+    want = {
+        v_: sum(
+            (est[(v_, h)] - est[(v_, h - 1)]) / h for h in range(1, hops + 1)
+        )
+        for v_ in vids
+    }
+    assert set(got) == set(want)
+    for v_ in vids:
+        assert math.isclose(got[v_], want[v_], rel_tol=1e-9), v_
+
+
+def test_harmonic_star_center_highest(spark):
+    """On a symmetric star the hub is closest to everyone — its harmonic
+    estimate must rank first."""
+    from comm_detect_spark.operators.anf import harmonic_centrality
+
+    n = 12
+    src = [0] * (n - 1) + list(range(1, n))
+    dst = list(range(1, n)) + [0] * (n - 1)
+    e = edges_df(spark, n, src, dst, [1] * len(src))
+    v = spark.range(n).select(F.col("id").alias("vid"))
+    got = {
+        r["vid"]: r["harmonic"]
+        for r in harmonic_centrality(spark, e, v, max_hops=2, trials=32).collect()
+    }
+    assert max(got, key=got.get) == 0
