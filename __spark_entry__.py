@@ -735,6 +735,17 @@ u{r} AS (
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-rule repetition signals per document (duplicate-2gram
+    fraction, top-token fraction) — the boilerplate/keyword-stuffing
+    filter of a training pipeline. The 2-gram side is pure array exprs;
+    the oracle replays with LEAD-window 2-grams and a per-doc mode."""
+    from comm_detect_spark.operators.ranking import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
 def _q_anf_hop_profile(spark, sf_dir):
     """Per-hop FM b-sums (hops 1..3) — the integer-exact distance profile
     harmonic/closeness centrality integrates; same md5-seeded sketches as
@@ -969,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": _q_segment_dedup,
         "partition_quality": _q_partition_quality,
         "anf_hop_profile": _q_anf_hop_profile,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1863,6 +1875,45 @@ SELECT 32 AS num_partitions, t.n_edges, CAST(t.cut_edges AS BIGINT) AS cut_edges
        ROUND(l.avg_load, 6) AS avg_load,
        ROUND(CAST(l.max_load AS DOUBLE) / l.avg_load, 6) AS skew
 FROM totals t CROSS JOIN loads l
+""",
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, u.i AS pos, ws[CAST(u.i AS INT) + 1] AS tok
+  FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+  ), UNNEST(range(len(ws))) AS u(i)
+  WHERE ws[CAST(u.i AS INT) + 1] <> ''
+),
+nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok) OVER (
+    PARTITION BY doc_id ORDER BY pos
+  ) AS g
+  FROM toks
+),
+gstats AS (
+  SELECT doc_id,
+         COUNT(g) AS total_g,
+         COUNT(DISTINCT g) AS distinct_g
+  FROM grams WHERE g IS NOT NULL GROUP BY doc_id
+),
+topf AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS INT) AS n_tokens,
+       CASE WHEN n.n_tokens >= 2 THEN
+         ROUND(1.0 - CAST(g.distinct_g AS DOUBLE) / g.total_g, 6)
+       END AS dup_2gram_frac,
+       CASE WHEN n.n_tokens > 0 THEN
+         ROUND(CAST(t.top_c AS DOUBLE) / n.n_tokens, 6)
+       END AS top_token_frac
+FROM nt n
+LEFT JOIN gstats g ON n.doc_id = g.doc_id
+LEFT JOIN topf t ON n.doc_id = t.doc_id
 """,
         "segment_dedup": """
 WITH toks AS (

@@ -187,6 +187,7 @@ def main() -> None:
         "segment_dedup",
         "partition_quality",
         "anf_hop_profile",
+        "repetition_stats",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

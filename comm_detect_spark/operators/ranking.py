@@ -131,3 +131,73 @@ def bm25(
             "score"
         ),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, dup_2gram_frac, top_token_frac): the Gopher-rule
+    repetition signals (Rae et al. 2021 §A1.1) used to drop boilerplate
+    and keyword-stuffed pages before training:
+
+      dup_2gram_frac  = 1 - distinct_2grams / total_2grams   (NULL if < 2
+                        tokens — no 2-grams exist, stated not hidden)
+      top_token_frac  = occurrences of the most frequent token / n_tokens
+
+    The 2-gram side is PURE array expressions on the tokenized column (no
+    shuffle at all — the per-row sequence/transform/array_distinct chain
+    stays in codegen); the top-token side is one explode + (doc, token)
+    hash agg + (doc) max-agg — two map-side-combined exchanges. Floats
+    round to 6 (cross-engine convention)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+    )
+    # sequence end clamped at 0 so the n_tokens<2 rows (whose result is
+    # NULLed by the when() below) never build sequence(0, -1); F.get is
+    # 0-based and NULL-on-out-of-bounds (ANSI-safe, unlike element_at)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - 2, F.lit(0))),
+        lambda i: F.concat(
+            F.get("toks", i), F.lit(" "), F.get("toks", i + 1)
+        ),
+    )
+    gram_side = base.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams))
+                / (F.col("n_tokens") - 1).cast("double"),
+                6,
+            ),
+        ).alias("dup_2gram_frac"),
+    )
+    tok_counts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return gram_side.join(tok_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_2gram_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("top_c") / F.col("n_tokens"), 6),
+        ).alias("top_token_frac"),
+    )

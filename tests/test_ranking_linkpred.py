@@ -192,3 +192,28 @@ class TestLinkPrediction:
         }
         for k in capped:
             assert capped[k] <= full[k] + 1e-9
+
+
+class TestRepetitionStats:
+    def test_hand_fixture(self, spark):
+        from comm_detect_spark.operators.ranking import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a"),     # 4 2-grams, 2 distinct -> 0.5; a:3/5
+                (2, "x y z"),         # all distinct -> 0.0; 1/3
+                (3, "w"),             # no 2-grams -> NULL; 1/1
+                (4, "q q q q"),       # 3 2-grams, 1 distinct -> 2/3; 4/4
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["dup_2gram_frac"], r["top_token_frac"]
+            )
+            for r in repetition_stats(docs).collect()
+        }
+        assert got[1] == (5, 0.5, 0.6)
+        assert got[2] == (3, 0.0, round(1 / 3, 6))
+        assert got[3] == (1, None, 1.0)
+        assert got[4] == (4, round(2 / 3, 6), 1.0)
