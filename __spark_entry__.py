@@ -735,6 +735,74 @@ u{r} AS (
     )
 
 
+def _q_seeded_lpa(spark, sf_dir):
+    """TrustRank-style seeded label spreading on the directed G graph:
+    seeds are vid % 100 == 0 with label vid % 5, frozen; 3 synchronous
+    weight-majority rounds (tie -> lowest label), unreached stay NULL.
+    The oracle unrolls the rounds with a ROW_NUMBER argmax."""
+    from comm_detect_spark.operators.lpa import seeded_lpa
+
+    edges = _g_directed(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vid") % 100 == 0).select(
+        "vid", (F.col("vid") % 5).alias("label")
+    )
+    out = seeded_lpa(spark, edges, seeds, rounds=3)
+    # unreached stays NULL in the operator; the driver row uses -1 so the
+    # value-hash never sorts NULL against integers
+    return out.select("vid", F.coalesce("label", F.lit(-1)).alias("label"))
+
+
+def _seeded_lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled replay of seeded_lpa (lpa.py): per round an inner join on
+    labeled sources, a (dst, cand) weight histogram, and a (s DESC, cand
+    ASC) ROW_NUMBER argmax; seeds re-pinned every round."""
+    ctes = [
+        """verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM g_dir UNION ALL SELECT dst FROM g_dir
+  )
+),
+s0 AS (
+  SELECT vid,
+         CASE WHEN vid % 100 = 0 THEN vid % 5 END AS label
+  FROM verts
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""b{r} AS (
+  SELECT vid, cand FROM (
+    SELECT g.dst AS vid, s.label AS cand,
+           ROW_NUMBER() OVER (
+             PARTITION BY g.dst
+             ORDER BY SUM(g.weight) DESC, s.label ASC
+           ) AS rn
+    FROM g_dir g JOIN s{p} s ON g.src = s.vid
+    WHERE s.label IS NOT NULL
+    GROUP BY g.dst, s.label
+  ) WHERE rn = 1
+),
+s{r} AS (
+  SELECT v.vid,
+         CASE WHEN v.vid % 100 = 0 THEN v.label
+              WHEN b.cand IS NOT NULL THEN b.cand
+              ELSE v.label END AS label
+  FROM s{p} v LEFT JOIN b{r} b ON v.vid = b.vid
+)"""
+        )
+    return (
+        f"WITH {_SQL_G},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, COALESCE(label, -1) AS label FROM s{rounds}"
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-rule repetition signals per document (duplicate-2gram
     fraction, top-token fraction) — the boilerplate/keyword-stuffing
@@ -981,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality": _q_partition_quality,
         "anf_hop_profile": _q_anf_hop_profile,
         "repetition_stats": _q_repetition_stats,
+        "seeded_lpa_r3": _q_seeded_lpa,
     }
 
 
@@ -1876,6 +1945,7 @@ SELECT 32 AS num_partitions, t.n_edges, CAST(t.cut_edges AS BIGINT) AS cut_edges
        ROUND(CAST(l.max_load AS DOUBLE) / l.avg_load, 6) AS skew
 FROM totals t CROSS JOIN loads l
 """,
+        "seeded_lpa_r3": _seeded_lpa_oracle_sql(rounds=3),
         "repetition_stats": """
 WITH toks AS (
   SELECT doc_id, u.i AS pos, ws[CAST(u.i AS INT) + 1] AS tok

@@ -125,3 +125,71 @@ def lpa_sync(
     out = drv.finish(it)
     e.unpersist()
     return out
+
+
+def seeded_lpa(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vid, label) after ``rounds`` synchronous spreads from a FROZEN
+    seed set — the discrete cousin of TrustRank (Gyongyi et al., VLDB'04):
+    labels (trusted/spam/topic ids) start on a small curated seed set and
+    spread along links; a non-seed vertex adopts the weight-majority label
+    of its labeled in-neighbors each round (tie -> lowest label), keeps
+    its current label when no labeled neighbor speaks, and stays NULL
+    until first reached. Seeds never change — the trust anchor.
+
+    Propagation follows edge direction (src endorses dst, the TrustRank
+    reading); feed a symmetrized table for undirected spreading.
+
+    100 TB shape: per round ONE edge-sized join + majority agg (map-side
+    combined) + a vertex-sized argmax and update join — the lpa_step cost
+    shape exactly; early rounds are CHEAPER because only labeled-neighbor
+    edges (a seed-sized frontier) survive the inner join. Runs under the
+    lineage-truncation IterationDriver."""
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    state0 = verts.join(
+        seeds.select("vid", F.col("label").cast("long").alias("label")),
+        "vid",
+        "left",
+    ).select(
+        "vid",
+        "label",
+        F.col("label").isNotNull().alias("is_seed"),
+    )
+    drv = IterationDriver()
+    cur = drv.start(state0)
+    for i in range(1, rounds + 1):
+        msgs = edges.join(
+            cur.where(F.col("label").isNotNull()).select(
+                F.col("vid").alias("src"), F.col("label").alias("cand")
+            ),
+            "src",
+        ).select("dst", "cand", "weight")
+        if num_partitions:
+            msgs = msgs.repartition(num_partitions, "dst")
+        hist = msgs.groupBy(F.col("dst").alias("vid"), "cand").agg(
+            F.sum("weight").alias("s")
+        )
+        best = hist.groupBy("vid").agg(
+            F.max(
+                F.struct(F.col("s"), (-F.col("cand")).alias("neg"))
+            ).alias("m")
+        )
+        nxt = cur.join(best, "vid", "left").select(
+            "vid",
+            F.when(F.col("is_seed"), F.col("label"))
+            .when(F.col("m").isNotNull(), -F.col("m.neg"))
+            .otherwise(F.col("label"))
+            .alias("label"),
+            "is_seed",
+        )
+        cur = drv.step(nxt, i)
+    return cur.select("vid", "label")

@@ -31,7 +31,7 @@ def main():
                     choices=["pagerank", "ppr", "hits", "cc", "scc", "anf",
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
-                             "profile", "linkpred"])
+                             "profile", "linkpred", "seeded_lpa"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -87,8 +87,8 @@ def main():
     if args.resume and args.algo in ("triangles", "kcore", "clustering",
                                      "scc", "anf"):
         ap.error(f"--resume is not supported for {args.algo}")
-    if args.algo == "ppr" and not args.seeds:
-        ap.error("--algo ppr requires --seeds")
+    if args.algo in ("ppr", "seeded_lpa") and not args.seeds:
+        ap.error(f"--algo {args.algo} requires --seeds")
 
     vertices = None
     if args.pages:
@@ -208,6 +208,12 @@ def main():
         from comm_detect_spark.operators.graphstats import graph_profile
 
         out = graph_profile(edges)
+    elif args.algo == "seeded_lpa":
+        from comm_detect_spark.operators.lpa import seeded_lpa
+
+        # --seeds here is a (vid, label) parquet (vs the vid-only ppr set)
+        seeds = spark.read.parquet(args.seeds)
+        out = seeded_lpa(spark, edges, seeds, rounds=args.rounds or 3)
     elif args.algo == "linkpred":
         from comm_detect_spark.operators.linkpred import (
             link_prediction_scores,
