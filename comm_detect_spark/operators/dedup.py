@@ -322,6 +322,49 @@ def decontaminate(
     )
 
 
+def doc_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_segment: int = 8,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, seg_idx, segment [, passthrough...]): fixed-token
+    segmentation as STATELESS
+    array expressions — tokenize, slice the token array per segment index,
+    posexplode. No aggregation, no shuffle, codegen-resident; this is what
+    lets the streaming twin chain a single stateful dedup operator instead
+    of an agg + dedup pair (and saves the batch path one exchange).
+    Documents with zero tokens produce no segments."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    extra = list(passthrough or [])
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), *extra, toks.alias("toks")
+    ).where(F.size("toks") > 0)
+    nseg = F.ceil(
+        F.size("toks") / F.lit(float(tokens_per_segment))
+    ).cast("int")
+    segarr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(
+                "toks", i * tokens_per_segment + 1, tokens_per_segment
+            ),
+            " ",
+        ),
+    )
+    return base.select(
+        "doc_id", *extra, F.posexplode(segarr).alias("seg_idx", "segment")
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        "segment",
+        *extra,
+    )
+
+
 def segment_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -350,27 +393,7 @@ def segment_dedup(
     reassembly one more agg on doc_id. Nothing is quadratic; boilerplate
     mega-duplicates (the same cookie banner in 10^9 docs) are exactly the
     hot keys the map-side combine collapses BEFORE the exchange."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.trim(F.col(text_col)), r"\s+")
-        ).alias("pos", "tok"),
-    ).where(F.col("tok") != "")
-    segs = (
-        toks.groupBy(
-            "doc_id",
-            F.floor(F.col("pos") / tokens_per_segment).alias("seg_idx"),
-        )
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("segment")
-        )
-    )
+    segs = doc_segments(docs, id_col, text_col, tokens_per_segment)
     winners = (
         segs.groupBy(F.md5(F.col("segment")).alias("h"))
         .agg(F.min(F.struct("doc_id", "seg_idx", "segment")).alias("w"))

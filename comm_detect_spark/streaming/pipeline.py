@@ -286,3 +286,59 @@ def streaming_decontaminate(
         )
         .where(F.col("hits") > 0)
     )
+
+
+def streaming_segment_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    tokens_per_segment: int = 8,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming twin of segment_dedup's FILTER half: explode each arriving
+    document into fixed-token segments and pass through only segments whose
+    md5 has not been seen inside the watermark horizon — online C4-style
+    line dedup over a crawl stream. Emits (doc_id, seg_idx, segment, ts);
+    reassembly is left to the batch consumer (a per-doc aggregation in
+    append mode would hold every open document in state — deliberately not
+    this operator's contract, same reasoning as wordcount's top-k cut).
+
+    Keep-rule nuance stated, not hidden: batch segment_dedup keeps the
+    GLOBAL minimum (doc_id, seg_idx) occurrence; the stream keeps the
+    FIRST-ARRIVING one, and within a single micro-batch
+    dropDuplicatesWithinWatermark's pick among equal keys is
+    arrival-order-dependent. The single-batch parity gate therefore feeds
+    inputs whose arrival order equals the (doc_id, seg_idx) order, where
+    the two rules coincide.
+
+    State = one row per distinct segment hash inside the horizon (full
+    128-bit digest, streaming_exact_dedup's argument), expired by the
+    watermark — bounded by the distinct-segment rate, not the stream
+    length. Segmentation is doc_segments' STATELESS array-slice expansion,
+    so the only stateful operator in the stream is the dedup itself (a
+    streaming groupBy here would hold open-document state AND delay
+    emission to the watermark)."""
+    from comm_detect_spark.operators.dedup import doc_segments
+
+    withts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    segs = doc_segments(
+        withts,
+        id_col="doc_id",
+        text_col="text",
+        tokens_per_segment=tokens_per_segment,
+        passthrough=["ts"],
+    )
+    hashed = segs.select(
+        "doc_id", "seg_idx", "segment", "ts",
+        F.md5(F.col("segment")).alias("h"),
+    )
+    return (
+        hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("doc_id", "seg_idx", "segment", "ts")
+    )

@@ -171,3 +171,87 @@ class TestWordcountWindowedStream:
         )
         assert got == want
         assert len(got) > 0
+
+
+class TestStreamingSegmentFilter:
+    def test_one_survivor_per_segment_and_batch_hash_set(
+        self, spark, tmp_path
+    ):
+        from comm_detect_spark.operators.dedup import doc_segments
+        from comm_detect_spark.streaming.pipeline import (
+            streaming_segment_filter,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+            "ingest_ts", F.current_timestamp()
+        )
+        src_dir = str(tmp_path / "segdocs")
+        docs.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        _run_stream(
+            streaming_segment_filter(stream, tokens_per_segment=8),
+            "seg_filter",
+            "append",
+        )
+        got = spark.sql("SELECT * FROM seg_filter")
+        assert got.groupBy(F.md5("segment")).count().where(
+            F.col("count") > 1
+        ).count() == 0
+        # the surviving segment SET equals the batch winners' set (the
+        # keep-rules differ only in WHICH occurrence survives)
+        batch_set = {
+            r["segment"]
+            for r in doc_segments(
+                spark.read.parquet(f"{SF}/documents.parquet"),
+                tokens_per_segment=8,
+            )
+            .select("segment")
+            .distinct()
+            .collect()
+        }
+        assert {r["segment"] for r in got.collect()} == batch_set
+
+    def test_batch_winner_parity_in_doc_order(self, spark, tmp_path):
+        """When arrival order == (doc_id, seg_idx) order (one input file,
+        sorted), the stream's first-arrival keep equals batch
+        segment_dedup's global-minimum keep exactly."""
+        from comm_detect_spark.operators.dedup import segment_dedup
+        from comm_detect_spark.streaming.pipeline import (
+            streaming_segment_filter,
+        )
+
+        rows = [
+            (1, "a b c d"),
+            (2, "c d e f"),
+            (3, "a b"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).withColumn("ingest_ts", F.current_timestamp())
+        src_dir = str(tmp_path / "mini")
+        docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(
+            src_dir
+        )
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        _run_stream(
+            streaming_segment_filter(stream, tokens_per_segment=2),
+            "seg_filter_mini",
+            "append",
+        )
+        got = {
+            (r["doc_id"], r["seg_idx"]): r["segment"]
+            for r in spark.sql("SELECT * FROM seg_filter_mini").collect()
+        }
+        assert got == {(1, 0): "a b", (1, 1): "c d", (2, 1): "e f"}
+        # and reassembling the survivors equals batch segment_dedup
+        want = {
+            r["doc_id"]: r["text_clean"]
+            for r in segment_dedup(
+                docs.drop("ingest_ts"), tokens_per_segment=2
+            ).collect()
+        }
+        assert want == {1: "a b c d", 2: "e f"}
