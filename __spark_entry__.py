@@ -356,6 +356,19 @@ def _q_embedding_ann_pairs(spark, sf_dir):
     return ann_pairs(emb, threshold=0.3, bits=4, dim=64, seeds=[42, 43])
 
 
+def _q_semantic_clusters(spark, sf_dir):
+    """Embedding-space dedup clusters: ANN pair graph (same params as
+    embedding_ann_pairs) -> connected components; the oracle nests the
+    generated hyperplane-literal pair SQL inside a recursive-CTE closure
+    (the corpus_dedup pattern)."""
+    from comm_detect_spark.operators.similarity import semantic_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_clusters(
+        spark, emb, threshold=0.3, bits=4, dim=64, seeds=[42, 43]
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_pairs(docs, "doc_id", "text", k=3, max_hamming=3)
@@ -1050,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_hop_profile": _q_anf_hop_profile,
         "repetition_stats": _q_repetition_stats,
         "seeded_lpa_r3": _q_seeded_lpa,
+        "semantic_clusters": _q_semantic_clusters,
     }
 
 
@@ -2204,6 +2218,22 @@ FROM clusters c JOIN quality q USING (id)
     # driver check) — a bug in the generators must fail loudly, not
     # silently downgrade the verification.
     out["embedding_ann_pairs"] = _ann_pairs_oracle_sql()
+    out["semantic_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_ann_pairs_oracle_sql()}) q
+),
+sem_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+),
+sem_ids AS (SELECT vec_id AS id FROM embeddings),
+sem_reach(id, comp) AS (
+  SELECT id, id FROM sem_ids
+  UNION
+  SELECT e.dst, r.comp FROM sem_edges e JOIN sem_reach r ON e.src = r.id
+)
+SELECT id AS vec_id, MIN(comp) AS cluster FROM sem_reach GROUP BY id
+"""
     import os
 
     if os.path.isdir(_oracle_sf_dir()):

@@ -189,6 +189,7 @@ def main() -> None:
         "anf_hop_profile",
         "repetition_stats",
         "seeded_lpa_r3",
+        "semantic_clusters",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -503,3 +503,45 @@ def ann_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def semantic_clusters(
+    spark,
+    df: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: list[int] | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, cluster): connected components of the ANN near-duplicate
+    pair graph — the end-to-end "semantic dedup" composition (embeddings
+    -> LSH-bucketed candidate pairs -> cosine verify -> transitive
+    closure), the embedding-space twin of corpus dedup_clusters
+    (corpus.py:29). cluster = the minimum vec_id reachable through pairs
+    at >= threshold cosine; singletons keep their own id.
+
+    100 TB shape: inherits ann_pairs' never-all-pairs candidate stage and
+    hub-bucket cap, then connected_components' one-exchange-per-round
+    pointer jumping — both components' scale arguments compose unchanged;
+    the pair graph is tiny relative to the corpus (near-dup rate bounds
+    it), so CC converges in few rounds on a frontier far smaller than the
+    input."""
+    from comm_detect_spark.operators.components import connected_components
+
+    pairs = ann_pairs(
+        df, threshold=threshold, bits=bits, id_col=id_col,
+        vec_col=vec_col, seeds=seeds, dim=dim,
+    )
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ids = df.select(F.col(id_col).alias("vid"))
+    comp = connected_components(spark, edges, vertices=ids)
+    return comp.select(
+        F.col("vid").alias("vec_id"), F.col("comp").alias("cluster")
+    )
