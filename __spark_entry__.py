@@ -356,6 +356,18 @@ def _q_embedding_ann_pairs(spark, sf_dir):
     return ann_pairs(emb, threshold=0.3, bits=4, dim=64, seeds=[42, 43])
 
 
+def _q_events_distinct(spark, sf_dir):
+    """FM approximate distinct users per hour, reduced to the integer
+    b_sum — the sketch answer to windowed COUNT(DISTINCT) whose
+    approximation is itself engine-exact (md5-seeded bits, bit_or fold)."""
+    from comm_detect_spark.operators.anf import windowed_distinct_b_sums
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return windowed_distinct_b_sums(ev, trials=4)
+
+
 def _q_semantic_clusters(spark, sf_dir):
     """Embedding-space dedup clusters: ANN pair graph (same params as
     embedding_ann_pairs) -> connected components; the oracle nests the
@@ -1064,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
+        "events_distinct_fm": _q_events_distinct,
     }
 
 
@@ -2111,6 +2124,26 @@ SELECT user_id,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS total_value
 FROM sess GROUP BY user_id, sid
+""",
+        "events_distinct_fm": """
+WITH tr AS (SELECT UNNEST([0, 1, 2, 3]) AS trial),
+sk AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         trial,
+         BIT_OR(h & -h) AS sketch
+  FROM (
+    SELECT ts, u.trial,
+           CAST(CONCAT('0x', SUBSTRING(md5(CONCAT(
+             CAST(user_id AS VARCHAR), ':', CAST(u.trial AS VARCHAR)
+           )), 1, 15)) AS BIGINT) AS h
+    FROM events, tr u
+  )
+  GROUP BY 1, 2
+)
+SELECT hour_epoch,
+       CAST(SUM(CAST(ROUND(LOG2((-1 - sketch) & (sketch + 1))) AS BIGINT))
+            AS BIGINT) AS b_sum
+FROM sk GROUP BY hour_epoch
 """,
         "events_hourly": """
 SELECT user_id,

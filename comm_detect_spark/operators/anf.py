@@ -360,3 +360,60 @@ def harmonic_centrality(
     return diffs.groupBy("vid").agg(
         F.sum(F.col("gain") / F.col("hop")).alias("harmonic")
     )
+
+
+def windowed_distinct_b_sums(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    trials: int = 4,
+) -> DataFrame:
+    """(hour_epoch BIGINT, b_sum BIGINT): Flajolet-Martin approximate
+    DISTINCT-key count per hour window, reduced to the integer b_sum (sum
+    over trials of the lowest-unset-bit index) — the same
+    engine-independent reduction as anf_b_sum, so the APPROXIMATION itself
+    is driver-hashable. est ~= 2^(b_sum/trials)/phi (anf_estimates'
+    float path, pytest-gated).
+
+    This is the sketch answer to "distinct users per window" at 100 TB:
+    exact distinct is a full shuffle of every key; the sketch is ONE
+    map-side-combined bit_or agg with state = trials x int64 per open
+    window — and because bit_or is commutative/idempotent the identical
+    aggregation runs under Structured Streaming (windowed_distinct_stream)
+    with watermark-bounded state. Same md5('{key}:{trial}') seeding as
+    fm_sketch_init."""
+    tr = F.explode(
+        F.sequence(F.lit(0), F.lit(trials - 1))
+    ).alias("trial")
+    ev = events.select(
+        F.unix_timestamp(F.date_trunc("hour", F.col(ts_col)))
+        .cast("bigint")
+        .alias("hour_epoch"),
+        F.col(key_col).cast("string").alias("k"),
+        tr,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("k"), F.lit(":"), F.col("trial").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sketched = ev.select(
+        "hour_epoch", "trial", h.alias("hh")
+    ).select(
+        "hour_epoch", "trial", F.expr("hh & -hh").alias("bit")
+    )
+    per_trial = sketched.groupBy("hour_epoch", "trial").agg(
+        F.bit_or("bit").alias("sketch")
+    )
+    b = F.round(
+        F.log2(F.expr("(-1 - sketch) & (sketch + 1)"))
+    ).cast("bigint")
+    return per_trial.groupBy("hour_epoch").agg(
+        F.sum(b).alias("b_sum")
+    )

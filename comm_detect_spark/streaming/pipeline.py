@@ -342,3 +342,52 @@ def streaming_segment_filter(
         .dropDuplicatesWithinWatermark(["h"])
         .select("doc_id", "seg_idx", "segment", "ts")
     )
+
+
+def windowed_distinct_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    trials: int = 4,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of windowed_distinct_b_sums: FM approximate distinct
+    keys per hour window, emitted as (hour_epoch, trial, sketch) — ONE
+    stateful aggregation (a second chained agg to fold trials into b_sum
+    is not an append-mode-supported shape; the fold is 4 rows per window,
+    a trivial consumer step, and the parity pytest performs it). bit_or
+    is commutative AND idempotent, so the incremental aggregation
+    converges to exactly the batch sketch regardless of arrival order or
+    replays — the rare approximation whose streaming answer is
+    bit-identical to batch. State = trials x int64 per open window,
+    expired by the watermark."""
+    tr = F.explode(F.sequence(F.lit(0), F.lit(trials - 1))).alias("trial")
+    ev = events.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(key_col).cast("string").alias("k"),
+        tr,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("k"), F.lit(":"), F.col("trial").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sketched = ev.select(
+        "ts", "trial", h.alias("hh")
+    ).select("ts", "trial", F.expr("hh & -hh").alias("bit"))
+    return (
+        sketched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("trial"))
+        .agg(F.bit_or("bit").alias("sketch"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"),
+            "trial",
+            "sketch",
+        )
+    )

@@ -248,3 +248,67 @@ def test_harmonic_star_center_highest(spark):
         for r in harmonic_centrality(spark, e, v, max_hops=2, trials=32).collect()
     }
     assert max(got, key=got.get) == 0
+
+
+def test_windowed_distinct_exact_vs_python(spark):
+    """windowed_distinct_b_sums == the pure-Python FM fold per hour."""
+    from comm_detect_spark.operators.anf import windowed_distinct_b_sums
+
+    rows = []
+    for i in range(200):
+        hour = i % 3
+        user = i % 37
+        rows.append((f"2024-01-01 0{hour}:{i % 60:02d}:00", user, 1.0))
+    ev = spark.createDataFrame(
+        rows, "ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["hour_epoch"]: r["b_sum"]
+        for r in windowed_distinct_b_sums(ev, trials=4).collect()
+    }
+
+    import datetime
+
+    def epoch(h):
+        return int(
+            datetime.datetime(
+                2024, 1, 1, h, tzinfo=datetime.timezone.utc
+            ).timestamp()
+        )
+
+    # python replay (session tz is UTC in tests)
+    want = {}
+    by_hour = {}
+    for ts, user, _ in rows:
+        h = int(ts[11:13])
+        by_hour.setdefault(h, set()).add(user)
+    for h, users in by_hour.items():
+        tot = 0
+        for t in range(4):
+            sk = 0
+            for u in users:
+                hv = _h60(f"{u}:{t}")
+                sk |= hv & -hv
+            r = (-1 - sk) & (sk + 1)
+            tot += r.bit_length() - 1
+        want[epoch(h)] = tot
+    assert got == want
+
+
+def test_windowed_distinct_estimate_sane(spark):
+    """2^(b/t)/phi lands within a factor ~3 of the true distinct count
+    (FM with 8 trials on ~40 keys)."""
+    from comm_detect_spark.operators.anf import (
+        FM_PHI,
+        windowed_distinct_b_sums,
+    )
+
+    rows = [
+        (f"2024-01-01 00:{i % 60:02d}:00", i % 40, 1.0) for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = windowed_distinct_b_sums(ev, trials=8).collect()[0]
+    est = 2 ** (r["b_sum"] / 8) / FM_PHI
+    assert 40 / 3 <= est <= 40 * 3

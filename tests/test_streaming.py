@@ -255,3 +255,42 @@ class TestStreamingSegmentFilter:
             ).collect()
         }
         assert want == {1: "a b c d", 2: "e f"}
+
+
+class TestWindowedDistinctStream:
+    def test_matches_batch_sketches(self, spark, tmp_path):
+        """Streamed per-(window, trial) bit_or sketches folded to b_sum ==
+        the batch operator exactly (bit_or is order-independent)."""
+        from comm_detect_spark.operators.anf import windowed_distinct_b_sums
+        from comm_detect_spark.streaming.pipeline import (
+            windowed_distinct_stream,
+        )
+
+        batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        src_dir = str(tmp_path / "evd")
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        _run_stream(
+            windowed_distinct_stream(stream, trials=4),
+            "win_distinct",
+            "complete",
+        )
+        per_trial = spark.sql("SELECT * FROM win_distinct")
+        b = F.round(
+            F.log2(F.expr("(-1 - sketch) & (sketch + 1)"))
+        ).cast("bigint")
+        got = {
+            r["hour_epoch"]: r["b_sum"]
+            for r in per_trial.groupBy("hour_epoch")
+            .agg(F.sum(b).alias("b_sum"))
+            .collect()
+        }
+        want = {
+            r["hour_epoch"]: r["b_sum"]
+            for r in windowed_distinct_b_sums(batch, trials=4).collect()
+        }
+        assert got == want and len(got) > 0
