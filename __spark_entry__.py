@@ -984,6 +984,62 @@ r0 AS (SELECT v.vid, 1.0 / nv.n AS rank FROM pr_verts v CROSS JOIN nv)"""
     )
 
 
+def _q_weighted_walks(spark, sf_dir):
+    """Weight-proportional walks on the directed T graph (weights = link
+    multiplicities): the hash draw indexes cumulative-weight ranges, so
+    even the BIASED sampling is replayable — the oracle picks
+    MIN(dst) WHERE cum_weight > h % total per step."""
+    from comm_detect_spark.operators.walks import weighted_random_walks
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.groupBy(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return weighted_random_walks(e, walk_length=3, seed=42)
+
+
+def _weighted_walks_oracle_sql(walk_length: int = 3, seed: int = 42) -> str:
+    """Unrolled replay of weighted_random_walks: cumulative weights per
+    (src, dst-ordered) neighbor; next hop = MIN(dst) whose cumw exceeds
+    the draw."""
+    head = """t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst, COUNT(*) AS weight
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2
+),
+wadj AS (
+  SELECT src, dst,
+         SUM(weight) OVER (PARTITION BY src ORDER BY dst) AS cumw
+  FROM t_dir
+),
+wtot AS (SELECT src, MAX(cumw) AS total FROM wadj GROUP BY src),
+verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM t_dir UNION ALL SELECT dst FROM t_dir
+  )
+),
+s0 AS (SELECT vid AS walk_id, 0 AS step, vid FROM verts)"""
+    ctes = [head]
+    for t in range(1, walk_length + 1):
+        h = (
+            f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{seed}:', "
+            f"CAST(f.walk_id AS VARCHAR), ':{t}')), 1, 15)) AS BIGINT)"
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT f.walk_id, {t} AS step,
+         (SELECT MIN(a.dst) FROM wadj a
+          WHERE a.src = f.vid AND a.cumw > ({h} % w.total)) AS vid
+  FROM s{t - 1} f JOIN wtot w ON w.src = f.vid
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, vid FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def _walks_oracle_sql(walk_length: int = 3, seed: int = 42) -> str:
     """Unrolled-step replay of random_walks: one CTE per step, next hop =
     nbrs[h60('{seed}:{walk}:{t}') % deg + 1] with nbrs sorted ascending —
@@ -1077,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
+        "weighted_walks_l3": _q_weighted_walks,
     }
 
 
@@ -1947,6 +2004,9 @@ JOIN dl l USING (doc_id)
 CROSS JOIN nd n CROSS JOIN ad a
 """,
         "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
+        "weighted_walks_l3": _weighted_walks_oracle_sql(
+            walk_length=3, seed=42
+        ),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

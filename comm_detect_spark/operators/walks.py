@@ -146,3 +146,93 @@ def walks_as_sentences(walks: DataFrame) -> DataFrame:
             lambda s: s["vid"],
         ).alias("sentence")
     )
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """random_walks with next-hop probability proportional to edge WEIGHT
+    (integer weights — this repo's edge weights are link counts): the hash
+    draw indexes into the neighbor list's cumulative-weight ranges,
+    ``next = first nbr (by dst order) with cum_weight > h % total_weight``
+    — each neighbor owns a contiguous range of size = its weight, so the
+    uniform 60-bit draw lands on it with probability weight/total, and the
+    pick is exactly replayable in SQL (MIN(dst) WHERE cumw > r).
+
+    Parallel (src, dst) rows have their weights summed first. Same
+    plan/scale shape as random_walks: one persisted adjacency (structs of
+    (dst, cumw) + a total per vertex), one frontier join per step, O(1)
+    per-walk pick via filter+head on the struct array, lineage cut every
+    8 steps."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("w").over(
+        Window.partitionBy("src").orderBy("dst").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    adj = (
+        e.select("src", "dst", cum.alias("cumw"))
+        .groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dst", "cumw"))).alias(
+                "nbrs"
+            ),
+            F.max("cumw").alias("total"),
+        )
+        .persist()
+    )
+
+    verts = (
+        edges.select(F.col("src").cast("long").alias("vid"))
+        .unionAll(edges.select(F.col("dst").cast("long").alias("vid")))
+        .distinct()
+    )
+    reps = verts.sparkSession.range(walks_per_vertex).select(
+        F.col("id").alias("rep")
+    )
+    frontier = verts.crossJoin(F.broadcast(reps)).select(
+        (F.col("vid") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.col("vid").alias("v"),
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("v").alias("vid")
+    )
+    for t in range(1, walk_length + 1):
+        h = _h60(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}"),
+            )
+        )
+        r = h % F.col("total")
+        pick = F.element_at(
+            F.filter("nbrs", lambda s: s["cumw"] > r), 1
+        )["dst"]
+        frontier = frontier.join(adj, frontier.v == adj.src).select(
+            "walk_id", pick.alias("v")
+        )
+        out = out.unionAll(
+            frontier.select(
+                "walk_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("v").alias("vid"),
+            )
+        )
+        if t % 8 == 0 and t < walk_length:
+            frontier = frontier.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=True)
+    return out

@@ -104,3 +104,73 @@ class TestRandomWalks:
         for wid in {w for (w, _) in py}:
             steps = sorted(s for (w2, s) in py if w2 == wid)
             assert sent[wid] == [py[(wid, s)] for s in steps]
+
+
+class TestWeightedWalks:
+    def _py_weighted(self, edges, walk_length, seed=42):
+        from collections import defaultdict
+
+        w = defaultdict(int)
+        verts = set()
+        for s, d, wt in edges:
+            w[(s, d)] += wt
+            verts.update((s, d))
+        adj = {}
+        for (s, d), wt in sorted(w.items()):
+            adj.setdefault(s, []).append((d, wt))
+        out = {}
+        for v in verts:
+            cur = v
+            out[(v, 0)] = cur
+            for t in range(1, walk_length + 1):
+                ns = adj.get(cur)
+                if not ns:
+                    break
+                total = sum(wt for _, wt in ns)
+                r = _h60(f"{seed}:{v}:{t}") % total
+                acc = 0
+                for d, wt in ns:
+                    acc += wt
+                    if acc > r:
+                        cur = d
+                        break
+                out[(v, t)] = cur
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from comm_detect_spark.operators.walks import weighted_random_walks
+
+        edges = []
+        for v in range(20):
+            for j in range(3):
+                d = int(
+                    hashlib.md5(f"ww:{v}:{j}".encode()).hexdigest()[:8], 16
+                ) % 20
+                if d != v:
+                    edges.append((v, d, 1 + (v * j) % 5))
+        e = edges_df(
+            spark, 20, [a for a, _, _ in edges], [b for _, b, _ in edges],
+            [w for _, _, w in edges],
+        )
+        got = {
+            (r["walk_id"], r["step"]): r["vid"]
+            for r in weighted_random_walks(e, walk_length=4).collect()
+        }
+        assert got == self._py_weighted(edges, 4)
+
+    def test_heavy_edge_dominates(self, spark):
+        from comm_detect_spark.operators.walks import weighted_random_walks
+
+        # vertex 0 has nbr 1 (weight 999) and nbr 2 (weight 1): with many
+        # walks-per-vertex, nearly every step-1 hop from 0 goes to 1
+        e = edges_df(spark, 3, [0, 0], [1, 2], [999, 1])
+        rows = weighted_random_walks(
+            e, walk_length=1, walks_per_vertex=64
+        ).collect()
+        hops = [
+            r["vid"]
+            for r in rows
+            if r["step"] == 1 and r["walk_id"] // 64 == 0
+        ]
+        assert len(hops) == 64
+        assert hops.count(1) >= 60
