@@ -65,6 +65,9 @@ def main():
                          "(ktruss default: peel to fixpoint)")
     ap.add_argument("--max-degree", type=int, default=None,
                     help="--algo walks: hash-subsample hub neighbor lists")
+    ap.add_argument("--weighted", action="store_true",
+                    help="--algo walks: next hop proportional to edge "
+                         "weight (cumulative-range hash pick)")
     ap.add_argument("--min-common", type=int, default=2,
                     help="--algo linkpred: min shared neighbors to emit")
     ap.add_argument("--max-center-degree", type=int, default=None,
@@ -187,13 +190,22 @@ def main():
                           trials=args.trials)
         out = anf_estimates(sk, args.trials)
     elif args.algo == "walks":
-        from comm_detect_spark.operators.walks import random_walks
-
-        out = random_walks(
-            edges, walk_length=args.walk_length,
-            walks_per_vertex=args.walks_per_vertex, seed=args.seed,
-            max_degree=args.max_degree,
+        from comm_detect_spark.operators.walks import (
+            random_walks,
+            weighted_random_walks,
         )
+
+        if args.weighted:
+            out = weighted_random_walks(
+                edges, walk_length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+            )
+        else:
+            out = random_walks(
+                edges, walk_length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+                max_degree=args.max_degree,
+            )
     elif args.algo == "mis":
         from comm_detect_spark.operators.mis import maximal_independent_set
 
