@@ -1040,6 +1040,101 @@ s0 AS (SELECT vid AS walk_id, 0 AS step, vid FROM verts)"""
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _q_node2vec_walks(spark, sf_dir):
+    """Second-order node2vec walks (p=0.25, q=2.0 — return-seeking,
+    exploration-damped) on the weighted T graph: the per-candidate class
+    weight depends on the PREVIOUS vertex (return / stay-near / explore),
+    carried as exact integers so the context-dependent distribution is
+    still hash-replayable (walks.py:node2vec_walks)."""
+    from comm_detect_spark.operators.walks import node2vec_walks
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.groupBy(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return node2vec_walks(e, walk_length=3, seed=42, p=0.25, q=2.0)
+
+
+def _node2vec_oracle_sql(
+    walk_length: int = 3, seed: int = 42, p: float = 0.25, q: float = 2.0
+) -> str:
+    """Unrolled replay of node2vec_walks: step 1 is the weighted pick
+    (cumw > h % total); each later step rebuilds the CONTEXT-weighted
+    candidate table — edge weight x CASE(return / N(prev) via EXISTS /
+    else) with the operator's integer class weights — windows a per-walk
+    cumulative sum in dst order, and takes MIN(dst) past the draw."""
+    from comm_detect_spark.operators.walks import node2vec_class_weights
+
+    w_ret, w_near, w_far = node2vec_class_weights(p, q)
+    head = """t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst, COUNT(*) AS weight
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2
+),
+wadj AS (
+  SELECT src, dst,
+         SUM(weight) OVER (PARTITION BY src ORDER BY dst) AS cumw
+  FROM t_dir
+),
+wtot AS (SELECT src, MAX(cumw) AS total FROM wadj GROUP BY src),
+verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM t_dir UNION ALL SELECT dst FROM t_dir
+  )
+),
+s0 AS (SELECT vid AS walk_id, 0 AS step, vid,
+       CAST(NULL AS BIGINT) AS prev FROM verts)"""
+    ctes = [head]
+
+    def h(t):
+        return (
+            f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{seed}:', "
+            f"CAST(walk_id AS VARCHAR), ':{t}')), 1, 15)) AS BIGINT)"
+        )
+
+    if walk_length >= 1:
+        h1 = h(1).replace("walk_id", "f.walk_id")
+        ctes.append(
+            f"""s1 AS (
+  SELECT f.walk_id, 1 AS step,
+         (SELECT MIN(a.dst) FROM wadj a
+          WHERE a.src = f.vid AND a.cumw > ({h1} % w.total)) AS vid,
+         f.vid AS prev
+  FROM s0 f JOIN wtot w ON w.src = f.vid
+)"""
+        )
+    for t in range(2, walk_length + 1):
+        ctes.append(
+            f"""cand{t} AS (
+  SELECT f.walk_id, f.vid AS v, a.dst,
+         a.weight * (CASE
+           WHEN a.dst = f.prev THEN {w_ret}
+           WHEN EXISTS (SELECT 1 FROM t_dir n
+                        WHERE n.src = f.prev AND n.dst = a.dst)
+             THEN {w_near}
+           ELSE {w_far} END) AS cw
+  FROM s{t - 1} f JOIN t_dir a ON a.src = f.vid
+),
+cum{t} AS (
+  SELECT walk_id, v, dst,
+         SUM(cw) OVER (PARTITION BY walk_id ORDER BY dst) AS cum,
+         SUM(cw) OVER (PARTITION BY walk_id) AS total
+  FROM cand{t}
+),
+s{t} AS (
+  SELECT walk_id, {t} AS step,
+         MIN(CASE WHEN cum > ({h(t)} % total) THEN dst END) AS vid,
+         MIN(v) AS prev
+  FROM cum{t} GROUP BY walk_id
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, vid FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def _walks_oracle_sql(walk_length: int = 3, seed: int = 42) -> str:
     """Unrolled-step replay of random_walks: one CTE per step, next hop =
     nbrs[h60('{seed}:{walk}:{t}') % deg + 1] with nbrs sorted ascending —
@@ -1134,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
         "weighted_walks_l3": _q_weighted_walks,
+        "node2vec_walks_l3": _q_node2vec_walks,
     }
 
 
@@ -2006,6 +2102,9 @@ CROSS JOIN nd n CROSS JOIN ad a
         "random_walks_l3": _walks_oracle_sql(walk_length=3, seed=42),
         "weighted_walks_l3": _weighted_walks_oracle_sql(
             walk_length=3, seed=42
+        ),
+        "node2vec_walks_l3": _node2vec_oracle_sql(
+            walk_length=3, seed=42, p=0.25, q=2.0
         ),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),

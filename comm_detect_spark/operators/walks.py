@@ -40,6 +40,8 @@ steps like pagerank's lineage truncation (plans/driver.py)."""
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -225,6 +227,204 @@ def weighted_random_walks(
         frontier = frontier.join(adj, frontier.v == adj.src).select(
             "walk_id", pick.alias("v")
         )
+        out = out.unionAll(
+            frontier.select(
+                "walk_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("v").alias("vid"),
+            )
+        )
+        if t % 8 == 0 and t < walk_length:
+            frontier = frontier.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=True)
+    return out
+
+def node2vec_class_weights(p: float, q: float) -> tuple[int, int, int]:
+    """node2vec's (1/p, 1, 1/q) transition biases as exact INTEGERS.
+
+    With p = pa/pb and q = qa/qb (Fraction, denominator <= 10^6), scaling
+    all three biases by pa*qa gives (w_ret, w_near, w_far) =
+    (pb*qa, pa*qa, pa*qb) — same ratios, integer-exact, so the cumulative
+    ranges the hash draw indexes are replayable bit-for-bit in any engine
+    (no float cumsum drift). Returned in walk-semantics order:
+    back-to-previous, distance-1-from-previous, distance-2."""
+    fp, fq = Fraction(p).limit_denominator(10**6), Fraction(
+        q
+    ).limit_denominator(10**6)
+    if fp <= 0 or fq <= 0:
+        raise ValueError("node2vec p and q must be > 0")
+    pa, pb = fp.numerator, fp.denominator
+    qa, qb = fq.numerator, fq.denominator
+    return pb * qa, pa * qa, pa * qb
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    p: float = 1.0,
+    q: float = 1.0,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD'16):
+    the hop out of v after arriving from u weights each candidate x by
+    edge_weight(v,x) * alpha(u,x), alpha = 1/p if x==u (return), 1 if
+    x in N(u) (stay near), 1/q otherwise (explore). alpha is carried as
+    the integer class weights of :func:`node2vec_class_weights`, so the
+    cumulative-range hash pick (same draw contract as
+    weighted_random_walks: first dst-ordered candidate whose running
+    weight exceeds h60('{seed}:{walk_id}:{t}') % total) stays exactly
+    SQL-replayable even though the distribution is context-dependent.
+    Step 1 has no previous vertex and uses plain edge-weight bias —
+    with p=q=1 every class weight collapses to a constant and the whole
+    walk is bit-identical to weighted_random_walks (pinned in tests).
+
+    Plan shape per step: the frontier carries (walk_id, u, v); TWO joins
+    against the persisted adjacency (candidate lists of v, membership
+    list of u), then the pick is one O(deg) higher-order aggregate — no
+    per-row Python, no candidate explode. The membership test is scanned
+    against inter = array_intersect(N(v), N(u)) (hash-set build, O(du+dv)),
+    so a hub-hub transition costs O(dv * |inter|), not O(dv * du).
+
+    100 TB shape: same linear frontier state and one-exchange-per-join
+    cost as random_walks, but 2 adjacency joins per step instead of 1 —
+    the unavoidable second-order tax (the alternative, materializing
+    per-EDGE context tables keyed (u,v), is O(sum deg^2) storage and
+    loses at web-graph hub degrees). Hub lists bound via ``max_degree``
+    (deterministic hash subsample, same policy as random_walks); lineage
+    cut every 8 steps."""
+    w_ret, w_near, w_far = node2vec_class_weights(p, q)
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    if max_degree is not None:
+        rn = F.expr(
+            f"row_number() over (partition by src order by "
+            f"conv(substring(md5(concat('{seed}:', cast(src as string), ':',"
+            f" cast(dst as string))), 1, 15), 16, 10), dst)"
+        )
+        e = e.withColumn("_rn", rn).where(F.col("_rn") <= max_degree).drop(
+            "_rn"
+        )
+    adj = (
+        e.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dst", "w"))).alias("nbrs"),
+            F.sort_array(F.collect_list("dst")).alias("ids"),
+        )
+        .persist()
+    )
+
+    verts = (
+        edges.select(F.col("src").cast("long").alias("vid"))
+        .unionAll(edges.select(F.col("dst").cast("long").alias("vid")))
+        .distinct()
+    )
+    reps = verts.sparkSession.range(walks_per_vertex).select(
+        F.col("id").alias("rep")
+    )
+    start = verts.crossJoin(F.broadcast(reps)).select(
+        (F.col("vid") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.col("vid").alias("v"),
+    )
+    out = start.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("v").alias("vid")
+    )
+    zero = F.lit(0).cast("long")
+
+    def draw(t):
+        return _h60(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}"),
+            )
+        )
+
+    def pick(wgt_fn, t):
+        """First dst-ordered candidate whose cumulative weight exceeds
+        h % total — two O(deg) array folds, pure JVM. The draw r rides in
+        the scan's INITIAL accumulator (evaluated once per row): written
+        as an outer reference inside the lambda, Catalyst's project
+        collapse would inline r's whole expression — which embeds the
+        O(deg) total fold — into the per-element body, turning the pick
+        O(deg^2)."""
+        total = F.aggregate("nbrs", zero, lambda acc, s: acc + wgt_fn(s))
+        scanned = F.aggregate(
+            "nbrs",
+            F.struct(
+                zero.alias("cum"),
+                F.lit(None).cast("long").alias("pick"),
+                (draw(t) % total).alias("r"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["cum"] + wgt_fn(s)).alias("cum"),
+                F.when(
+                    acc["pick"].isNull() & (acc["cum"] + wgt_fn(s) > acc["r"]),
+                    s["dst"],
+                )
+                .otherwise(acc["pick"])
+                .alias("pick"),
+                acc["r"].alias("r"),
+            ),
+        )
+        return scanned["pick"]
+
+    if walk_length < 1:
+        return out
+    # step 1: no previous vertex — plain edge-weight bias
+    av = adj.select(F.col("src").alias("_vs"), "nbrs")
+    frontier = (
+        start.join(av, start.v == av._vs)
+        .select(
+            "walk_id",
+            F.col("v").alias("u"),
+            pick(lambda s: s["w"], 1).alias("v"),
+        )
+    )
+    out = out.unionAll(
+        frontier.select(
+            "walk_id", F.lit(1).cast("int").alias("step"),
+            F.col("v").alias("vid"),
+        )
+    )
+    for t in range(2, walk_length + 1):
+        au = adj.select(F.col("src").alias("_us"), F.col("ids").alias("uids"))
+        fr = (
+            frontier.join(av, frontier.v == av._vs)
+            .join(au, frontier.u == au._us, "left")
+            .withColumn(
+                "inter",
+                F.array_intersect(
+                    F.transform("nbrs", lambda s: s["dst"]),
+                    F.coalesce("uids", F.array().cast("array<long>")),
+                ),
+            )
+        )
+
+        def wgt(s):
+            cls = (
+                F.when(s["dst"] == F.col("u"), F.lit(w_ret))
+                .when(F.array_contains("inter", s["dst"]), F.lit(w_near))
+                .otherwise(F.lit(w_far))
+                .cast("long")
+            )
+            return s["w"] * cls
+
+        # pick BEFORE re-aliasing: in a single select list Spark resolves
+        # lateral column aliases, so `u` inside wgt would bind to the NEW
+        # `v AS u` alias (the current vertex) instead of the frontier's
+        # previous-vertex column, silently degrading every class weight
+        frontier = fr.select(
+            "walk_id", "v", pick(wgt, t).alias("_nxt")
+        ).select("walk_id", F.col("v").alias("u"), F.col("_nxt").alias("v"))
         out = out.unionAll(
             frontier.select(
                 "walk_id",

@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--weighted", action="store_true",
                     help="--algo walks: next hop proportional to edge "
                          "weight (cumulative-range hash pick)")
+    ap.add_argument("--p", type=float, default=None,
+                    help="--algo walks: node2vec return parameter "
+                         "(with --q: second-order biased walks)")
+    ap.add_argument("--q", type=float, default=None,
+                    help="--algo walks: node2vec in-out parameter")
     ap.add_argument("--min-common", type=int, default=2,
                     help="--algo linkpred: min shared neighbors to emit")
     ap.add_argument("--max-center-degree", type=int, default=None,
@@ -191,11 +196,20 @@ def main():
         out = anf_estimates(sk, args.trials)
     elif args.algo == "walks":
         from comm_detect_spark.operators.walks import (
+            node2vec_walks,
             random_walks,
             weighted_random_walks,
         )
 
-        if args.weighted:
+        if args.p is not None or args.q is not None:
+            out = node2vec_walks(
+                edges, walk_length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+                p=args.p if args.p is not None else 1.0,
+                q=args.q if args.q is not None else 1.0,
+                max_degree=args.max_degree,
+            )
+        elif args.weighted:
             out = weighted_random_walks(
                 edges, walk_length=args.walk_length,
                 walks_per_vertex=args.walks_per_vertex, seed=args.seed,

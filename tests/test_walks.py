@@ -174,3 +174,126 @@ class TestWeightedWalks:
         ]
         assert len(hops) == 64
         assert hops.count(1) >= 60
+
+
+class TestNode2VecWalks:
+    EDGES_W = [
+        (0, 1, 1), (0, 2, 2), (1, 2, 1), (1, 0, 3), (2, 0, 1),
+        (2, 3, 1), (3, 4, 2), (1, 4, 1), (4, 0, 1),
+    ]
+
+    def _py_n2v(self, edges, L, seed=42, p=1.0, q=1.0, wpv=1):
+        from comm_detect_spark.operators.walks import node2vec_class_weights
+
+        w_ret, w_near, w_far = node2vec_class_weights(p, q)
+        adj = {}
+        verts = set()
+        for s, d, w in edges:
+            adj.setdefault(s, {})
+            adj[s][d] = adj[s].get(d, 0) + w
+            verts.update((s, d))
+        adj = {v: sorted(m.items()) for v, m in adj.items()}
+        out = {}
+        for v in sorted(verts):
+            for rep in range(wpv):
+                wid = v * wpv + rep
+                out[(wid, 0)] = v
+                u, cur = None, v
+                for t in range(1, L + 1):
+                    cands = adj.get(cur)
+                    if not cands:
+                        break
+
+                    def cls(x):
+                        if t == 1:
+                            return 1
+                        if x == u:
+                            return w_ret
+                        if u in adj and any(d == x for d, _ in adj[u]):
+                            return w_near
+                        return w_far
+
+                    ws = [(d, w * cls(d)) for d, w in cands]
+                    total = sum(w for _, w in ws)
+                    r = _h60(f"{seed}:{wid}:{t}") % total
+                    acc, nxt = 0, None
+                    for d, w in ws:
+                        acc += w
+                        if nxt is None and acc > r:
+                            nxt = d
+                    u, cur = cur, nxt
+                    out[(wid, t)] = cur
+        return out
+
+    def _edges(self, spark):
+        return edges_df(
+            spark, 5,
+            [a for a, _, _ in self.EDGES_W],
+            [b for _, b, _ in self.EDGES_W],
+            [w for _, _, w in self.EDGES_W],
+        )
+
+    def test_class_weights_exact_integers(self):
+        from comm_detect_spark.operators.walks import node2vec_class_weights
+
+        # p=a/b, q=c/d -> (bc, ac, ad): ratios are exactly (1/p, 1, 1/q)
+        assert node2vec_class_weights(1, 1) == (1, 1, 1)
+        assert node2vec_class_weights(0.25, 1) == (4, 1, 1)
+        assert node2vec_class_weights(1, 4) == (4, 4, 1)
+        assert node2vec_class_weights(2, 0.5) == (1, 2, 4)
+        w_ret, w_near, w_far = node2vec_class_weights(0.3, 7)
+        assert (w_near / w_ret, w_near / w_far) == (0.3, 7)
+
+    def test_matches_python_replay_across_pq(self, spark):
+        from comm_detect_spark.operators.walks import node2vec_walks
+
+        e = self._edges(spark)
+        for p, q in [(0.25, 1.0), (2.0, 0.5)]:
+            got = {
+                (r["walk_id"], r["step"]): r["vid"]
+                for r in node2vec_walks(e, 5, p=p, q=q).collect()
+            }
+            assert got == self._py_n2v(self.EDGES_W, 5, p=p, q=q), (p, q)
+
+    def test_pq_one_is_weighted_walk_identity(self, spark):
+        from comm_detect_spark.operators.walks import (
+            node2vec_walks,
+            weighted_random_walks,
+        )
+
+        # p=q=1 collapses every class weight to a constant: bit-identical
+        # to the first-order weighted walk (same draws, same ranges)
+        e = self._edges(spark)
+        a = {
+            (r["walk_id"], r["step"]): r["vid"]
+            for r in node2vec_walks(e, 4).collect()
+        }
+        b = {
+            (r["walk_id"], r["step"]): r["vid"]
+            for r in weighted_random_walks(e, 4).collect()
+        }
+        assert a == b
+
+    def test_low_p_bounces_back(self, spark):
+        from comm_detect_spark.operators.walks import node2vec_walks
+
+        # 0 <-> 1, plus 1 -> 2..5 (unit weights): with w_ret 500x the
+        # others, a walk standing on 1 after arriving from 0 returns to 0
+        # in the overwhelming majority of draws
+        srcs = [0, 1] + [1] * 4
+        dsts = [1, 0] + [2, 3, 4, 5]
+        e = edges_df(spark, 6, srcs, dsts, [1] * 6)
+        rows = node2vec_walks(
+            e, walk_length=2, walks_per_vertex=50, p=0.002
+        ).collect()
+        step2 = {
+            r["walk_id"]: r["vid"] for r in rows if r["step"] == 2
+        }
+        step1 = {
+            r["walk_id"]: r["vid"] for r in rows if r["step"] == 1
+        }
+        # walks that started at 0 all hop to 1 (only edge), then return
+        from_zero = [w for w in step1 if w // 50 == 0 and step1[w] == 1]
+        assert len(from_zero) == 50
+        returned = sum(1 for w in from_zero if step2.get(w) == 0)
+        assert returned >= 45  # 1/p = 500 vs 4 competing unit ranges
