@@ -839,6 +839,18 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_quality_filter(spark, sf_dir):
+    """C4/Gopher quality gate composed in one pass: per-document rule
+    flags (length / quality / language / repetition) + the final keep
+    verdict (corpus.py:quality_filter). Thresholds picked to split the
+    synthetic corpus nontrivially (sf0.01 quantiles: n_tokens p10/p90 =
+    21/88, quality 0.69/0.99, dup2 0/0.065, topf 0.07/0.14)."""
+    from comm_detect_spark.operators.corpus import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs)
+
+
 def _q_anf_hop_profile(spark, sf_dir):
     """Per-hop FM b-sums (hops 1..3) — the integer-exact distance profile
     harmonic/closeness centrality integrates; same md5-seeded sketches as
@@ -1225,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality": _q_partition_quality,
         "anf_hop_profile": _q_anf_hop_profile,
         "repetition_stats": _q_repetition_stats,
+        "quality_filter": _q_quality_filter,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2170,6 +2183,103 @@ SELECT n.doc_id,
 FROM nt n
 LEFT JOIN gstats g ON n.doc_id = g.doc_id
 LEFT JOIN topf t ON n.doc_id = t.doc_id
+""",
+        "quality_filter": """
+WITH padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    ROUND(
+      LEAST(length(text) / 500.0, 1.0) * 0.4
+      + (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+         / GREATEST(length(text), 1)) * 0.4
+      + (CASE WHEN length(text)
+              / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2,
+    6) AS quality,
+    ((length(p) - length(replace(p, ' the ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+     + (length(p) - length(replace(p, ' to ', ''))) / 4.0
+     + (length(p) - length(replace(p, ' in ', ''))) / 4.0) AS s_en,
+    ((length(p) - length(replace(p, ' der ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' die ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' das ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' ist ', ''))) / 5.0) AS s_de,
+    ((length(p) - length(replace(p, ' le ', ''))) / 4.0
+     + (length(p) - length(replace(p, ' la ', ''))) / 4.0
+     + (length(p) - length(replace(p, ' et ', ''))) / 4.0
+     + (length(p) - length(replace(p, ' les ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' des ', ''))) / 5.0) AS s_fr,
+    ((length(p) - length(replace(p, ' και ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' του ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' της ', ''))) / 5.0
+     + (length(p) - length(replace(p, ' το ', ''))) / 4.0
+     + (length(p) - length(replace(p, ' των ', ''))) / 5.0) AS s_el
+  FROM padded
+),
+langed AS (
+  SELECT doc_id, quality,
+    CASE
+      WHEN GREATEST(s_de, s_el, s_en, s_fr) <= 0 THEN 'und'
+      WHEN s_fr >= GREATEST(s_de, s_el, s_en) THEN 'fr'
+      WHEN s_en >= GREATEST(s_de, s_el) THEN 'en'
+      WHEN s_el >= s_de THEN 'el'
+      ELSE 'de' END AS lang
+  FROM scored
+),
+qtoks AS (
+  SELECT doc_id, u.i AS pos, ws[CAST(u.i AS INT) + 1] AS tok
+  FROM (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+    FROM documents
+  ), UNNEST(range(len(ws))) AS u(i)
+  WHERE ws[CAST(u.i AS INT) + 1] <> ''
+),
+qnt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM qtoks GROUP BY doc_id),
+qgrams AS (
+  SELECT doc_id, tok || ' ' || LEAD(tok) OVER (
+    PARTITION BY doc_id ORDER BY pos
+  ) AS g
+  FROM qtoks
+),
+qgstats AS (
+  SELECT doc_id, COUNT(g) AS total_g, COUNT(DISTINCT g) AS distinct_g
+  FROM qgrams WHERE g IS NOT NULL GROUP BY doc_id
+),
+qtopf AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM qtoks GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+rules AS (
+  SELECT l.doc_id,
+         CAST(n.n_tokens AS INT) AS n_tokens,
+         l.quality, l.lang,
+         CASE WHEN n.n_tokens >= 2 THEN
+           ROUND(1.0 - CAST(g.distinct_g AS DOUBLE) / g.total_g, 6)
+         END AS dup_2gram_frac,
+         CASE WHEN n.n_tokens > 0 THEN
+           ROUND(CAST(t.top_c AS DOUBLE) / n.n_tokens, 6)
+         END AS top_token_frac
+  FROM langed l
+  JOIN qnt n ON l.doc_id = n.doc_id
+  LEFT JOIN qgstats g ON l.doc_id = g.doc_id
+  LEFT JOIN qtopf t ON l.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens, quality, lang, dup_2gram_frac, top_token_frac,
+       (n_tokens >= 30 AND n_tokens <= 10000) AS pass_length,
+       (quality >= 0.8) AS pass_quality,
+       (lang IN ('en')) AS pass_lang,
+       (COALESCE(dup_2gram_frac <= 0.05, TRUE)
+        AND COALESCE(top_token_frac <= 0.12, TRUE)) AS pass_repetition,
+       ((n_tokens >= 30 AND n_tokens <= 10000)
+        AND quality >= 0.8 AND lang IN ('en')
+        AND COALESCE(dup_2gram_frac <= 0.05, TRUE)
+        AND COALESCE(top_token_frac <= 0.12, TRUE)) AS keep
+FROM rules
 """,
         "segment_dedup": """
 WITH toks AS (

@@ -193,6 +193,7 @@ def main() -> None:
         "events_distinct_fm",
         "weighted_walks_l3",
         "node2vec_walks_l3",
+        "quality_filter",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

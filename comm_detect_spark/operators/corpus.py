@@ -206,3 +206,71 @@ def pack_shards(
             ).cast("bigint").alias("shard_id"),
         )
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 10_000,
+    min_quality: float = 0.8,
+    allowed_langs: tuple[str, ...] = ("en",),
+    max_dup_2gram: float = 0.05,
+    max_top_token: float = 0.12,
+) -> DataFrame:
+    """C4/Gopher-style pre-training quality gate in ONE composed pass:
+    per-document rule flags plus the final keep verdict (C4, Raffel et al.
+    2020 §2.1; Gopher rules, Rae et al. 2021 §A1.1).
+
+      pass_length      min_tokens <= n_tokens <= max_tokens
+      pass_quality     quality_score(text) >= min_quality
+      pass_lang        lang_id(text) in allowed_langs
+      pass_repetition  dup_2gram_frac <= max_dup_2gram AND
+                       top_token_frac <= max_top_token (NULL fractions —
+                       too few tokens to form the statistic — pass the
+                       repetition rule and are left to the length rule)
+      keep             all four
+
+    Emitting flags instead of filtering keeps the operator auditable: the
+    per-rule rejection rates ARE the dataset card numbers, and the kept
+    corpus is ``.where("keep")`` away.
+
+    100 TB shape: quality/lang are pure codegen column exprs on the same
+    scan; the repetition side is repetition_stats' two map-side-combined
+    aggs; the only other exchange is the doc_id equi-join between the two
+    sides — both already keyed by doc_id, so AQE plans it shuffle-light.
+    No Python anywhere."""
+    from comm_detect_spark.functions.text import lang_id
+    from comm_detect_spark.operators.ranking import repetition_stats
+
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col)
+    expr_side = docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang"),
+    )
+    j = expr_side.join(rep, "doc_id")
+    pass_length = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens
+    )
+    pass_quality = F.col("quality") >= min_quality
+    pass_lang = F.col("lang").isin(*allowed_langs)
+    pass_repetition = F.coalesce(
+        F.col("dup_2gram_frac") <= max_dup_2gram, F.lit(True)
+    ) & F.coalesce(F.col("top_token_frac") <= max_top_token, F.lit(True))
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "lang",
+        "dup_2gram_frac",
+        "top_token_frac",
+        pass_length.alias("pass_length"),
+        pass_quality.alias("pass_quality"),
+        pass_lang.alias("pass_lang"),
+        pass_repetition.alias("pass_repetition"),
+        (pass_length & pass_quality & pass_lang & pass_repetition).alias(
+            "keep"
+        ),
+    )

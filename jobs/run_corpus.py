@@ -39,7 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", required=True,
                     choices=["dedup", "stats", "ivf-index", "decontaminate",
-                             "split", "shards"])
+                             "split", "shards", "quality-filter"])
     ap.add_argument("--docs", required=True,
                     help="documents parquet (doc_id, text) or, for ivf-index, "
                          "embeddings parquet (vec_id, embedding)")
@@ -100,6 +100,13 @@ def main():
             quality_score(args.text_col).alias("quality"),
             lang_id(args.text_col).alias("lang"),
             fingerprint(args.text_col).alias("fingerprint"),
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.task == "quality-filter":
+        from comm_detect_spark.operators.corpus import quality_filter
+
+        quality_filter(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            min_quality=args.min_quality,
         ).write.mode("overwrite").parquet(args.out)
     elif args.task == "decontaminate":
         if not args.benchmark:

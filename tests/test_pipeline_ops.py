@@ -870,3 +870,65 @@ class TestSegmentDedup:
         }
         # doc2's single segment "z" duplicates doc1's tail
         assert got == {1: "x y z"}
+
+
+class TestQualityFilter:
+    def _docs(self, spark):
+        long_en = " ".join(
+            f"the item{i} and part{i} of lot{i} went to bin{i}"
+            for i in range(12)
+        )
+        reps = "spam spam spam spam spam spam " * 12
+        short = "the cat and the dog sat"
+        german = "der hund und die katze das haus ist hier und " * 10
+        return spark.createDataFrame(
+            [
+                (0, long_en),      # passes everything but repetition?
+                (1, reps),         # keyword stuffing: fails repetition
+                (2, short),        # fails length
+                (3, german),       # fails lang
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_rule_flags(self, spark):
+        from comm_detect_spark.operators.corpus import quality_filter
+
+        rows = {
+            r["doc_id"]: r
+            for r in quality_filter(
+                self._docs(spark),
+                min_tokens=30,
+                min_quality=0.2,
+                max_dup_2gram=0.5,
+                max_top_token=0.5,
+            ).collect()
+        }
+        assert rows[2]["pass_length"] is False  # 6 tokens < 30
+        assert rows[1]["pass_repetition"] is False  # one token dominates
+        assert rows[3]["pass_lang"] is False and rows[3]["lang"] == "de"
+        assert rows[0]["keep"] is True
+        # keep is exactly the conjunction of the flags, every row
+        for r in rows.values():
+            assert r["keep"] == (
+                r["pass_length"]
+                and r["pass_quality"]
+                and r["pass_lang"]
+                and r["pass_repetition"]
+            )
+
+    def test_null_fractions_pass_repetition(self, spark):
+        from comm_detect_spark.operators.corpus import quality_filter
+
+        # whitespace-only text: zero tokens, BOTH fractions NULL — the
+        # repetition rule passes and the length rule owns the rejection
+        blank = spark.createDataFrame(
+            [(7, "   ")], "doc_id long, text string"
+        )
+        r = quality_filter(blank).collect()[0]
+        assert r["n_tokens"] == 0
+        assert r["dup_2gram_frac"] is None
+        assert r["top_token_frac"] is None
+        assert r["pass_repetition"] is True
+        assert r["pass_length"] is False  # the length rule owns tiny docs
+        assert r["keep"] is False
