@@ -839,6 +839,49 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_sssp_r4(spark, sf_dir):
+    """Multi-source weighted shortest paths, 4 Bellman-Ford relaxations
+    from seeds {0, 1} on the weighted T graph (sssp.py — sparse frontier,
+    exchange-free src join, min-plus fold). The oracle unrolls the same
+    recurrence: d_t = min(d_{t-1}, min over edges(d_{t-1}[src] + w))."""
+    from comm_detect_spark.operators.sssp import sssp
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.groupBy(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return sssp(spark, e, [0, 1], rounds=4)
+
+
+def _sssp_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled min-plus replay of sssp(rounds): parallel edges collapse
+    to MIN(w) first (the operator's pre-fold), then one CTE per round."""
+    head = """t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2
+),
+ge AS (SELECT src, dst, MIN(w) AS w FROM t_dir GROUP BY src, dst),
+d0 AS (SELECT CAST(vid AS BIGINT) AS vid, CAST(0 AS BIGINT) AS dist
+       FROM (VALUES (0), (1)) AS s(vid))"""
+    ctes = [head]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""d{t} AS (
+  SELECT vid, MIN(dist) AS dist FROM (
+    SELECT vid, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS vid, d.dist + e.w AS dist
+    FROM d{t - 1} d JOIN ge e ON d.vid = e.src
+  ) GROUP BY vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vid, dist FROM d{rounds}"
+    )
+
+
 def _q_quality_filter(spark, sf_dir):
     """C4/Gopher quality gate composed in one pass: per-document rule
     flags (length / quality / language / repetition) + the final keep
@@ -1238,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_hop_profile": _q_anf_hop_profile,
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
+        "sssp_r4": _q_sssp_r4,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2119,6 +2163,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         "node2vec_walks_l3": _node2vec_oracle_sql(
             walk_length=3, seed=42, p=0.25, q=2.0
         ),
+        "sssp_r4": _sssp_oracle_sql(rounds=4),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

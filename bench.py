@@ -194,6 +194,7 @@ def main() -> None:
         "weighted_walks_l3",
         "node2vec_walks_l3",
         "quality_filter",
+        "sssp_r4",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -1,0 +1,116 @@
+"""Multi-source shortest paths — distributed Bellman-Ford rounds.
+
+No reference twin (SURVEY §2 is community detection); SSSP is the other
+classic Pregel-style frontier algorithm of a link-graph engine — distance
+from a seed set (crawl frontier depth, landmark distance features for
+link-graph embeddings, hop-limited reachability). Unweighted BFS is the
+weight=1 special case.
+
+One relaxation round = the min-plus product of the sparse distance vector
+with the edge table:
+
+  relax   dist JOIN edges ON vid = src  ->  (dst, dist + w)
+  fold    groupBy(dst).min  UNION  current dist  ->  groupBy(vid).min
+
+Same co-partitioning contract as connected_components (components.py:25):
+edges are cached pre-partitioned hash(src, P) and the iterated state lives
+on hash(vid, P), so the per-round join is exchange-free and only the dst
+min-aggregation (map-side combined) shuffles edge-sized rows. The distance
+table is SPARSE — unreached vertices don't exist yet — so early rounds on
+a 100 TB graph move only the frontier's neighborhood, not the full vertex
+set; negative weights are rejected (min-plus with negative cycles never
+converges).
+
+Fixed-`rounds` mode keeps the plan static for the oracle (the DuckDB twin
+unrolls the identical min-plus recurrence); fixpoint mode runs under the
+IterationDriver (lineage truncation + checkpoint/resume, plans/driver.py)
+until no distance improves — at most diameter rounds, the Bellman-Ford
+bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from comm_detect_spark.plans.driver import IterationDriver
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    driver: IterationDriver | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(vid BIGINT, dist BIGINT): length of the shortest weighted path
+    from the nearest of ``sources`` after ``rounds`` relaxations (or to
+    fixpoint when ``rounds`` is None). Only reached vertices appear.
+    Parallel edges collapse to their minimum weight first (min-plus
+    semantics). Raises on negative weights."""
+    drv = driver or IterationDriver()
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    neg = e.where(F.col("w") < 0).count()
+    if neg:
+        e.unpersist()
+        raise ValueError(f"sssp: {neg} negative-weight edges (min-plus "
+                         "relaxation requires w >= 0)")
+
+    dist = drv.start(
+        spark.createDataFrame(
+            [(int(s), 0) for s in sorted(set(sources))], "vid long, dist long"
+        ).repartition(p, "vid")
+    )
+    n_rounds = rounds if rounds is not None else max_rounds
+    it = 0
+    for it in range(1, n_rounds + 1):
+        relaxed = (
+            e.join(dist.withColumnRenamed("vid", "src"), "src")
+            .select(
+                F.col("dst").alias("vid"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("vid")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_dist = (
+            dist.join(relaxed, "vid", "full")
+            .select(
+                "vid",
+                F.least(
+                    F.coalesce("dist", F.col("cand")),
+                    F.coalesce("cand", F.col("dist")),
+                ).alias("dist"),
+            )
+        )
+        if rounds is None:
+            new_dist = drv.prepare(new_dist, it)
+            improved = (
+                new_dist.withColumnRenamed("dist", "d2")
+                .join(dist, "vid", "left")
+                .where(
+                    F.col("dist").isNull() | (F.col("d2") < F.col("dist"))
+                )
+                .count()
+            )
+            dist = drv.install(new_dist, it, changed=improved)
+            if improved == 0:
+                break
+        else:
+            dist = drv.step(new_dist, it, changed=-1)
+    out = drv.finish(it)
+    e.unpersist()
+    return out

@@ -31,7 +31,7 @@ def main():
                     choices=["pagerank", "ppr", "hits", "cc", "scc", "anf",
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
-                             "profile", "linkpred", "seeded_lpa"])
+                             "profile", "linkpred", "seeded_lpa", "sssp"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -95,7 +95,7 @@ def main():
     if args.resume and args.algo in ("triangles", "kcore", "clustering",
                                      "scc", "anf"):
         ap.error(f"--resume is not supported for {args.algo}")
-    if args.algo in ("ppr", "seeded_lpa") and not args.seeds:
+    if args.algo in ("ppr", "seeded_lpa", "sssp") and not args.seeds:
         ap.error(f"--algo {args.algo} requires --seeds")
 
     vertices = None
@@ -234,6 +234,16 @@ def main():
         from comm_detect_spark.operators.graphstats import graph_profile
 
         out = graph_profile(edges)
+    elif args.algo == "sssp":
+        from comm_detect_spark.operators.sssp import sssp
+
+        # --seeds is a (vid) parquet; --rounds fixes the relaxation count
+        # (omit for fixpoint under the lineage-truncation driver)
+        seed_ids = [
+            r["vid"] for r in spark.read.parquet(args.seeds).collect()
+        ]
+        out = sssp(spark, edges, seed_ids, rounds=args.rounds,
+                   driver=driver)
     elif args.algo == "seeded_lpa":
         from comm_detect_spark.operators.lpa import seeded_lpa
 
