@@ -839,6 +839,81 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_host_profile(spark, sf_dir):
+    """Domain-graph rollup + per-host audit (hostgraph.py): synthetic
+    page URLs (mixed-case hosts, a :8080 port on every third source page)
+    collapse to 40x40 host pairs, then per-host link/neighbor/self-loop
+    stats. Exercises the regexp host extraction, case folding, and port
+    stripping in BOTH engines."""
+    from comm_detect_spark.operators.hostgraph import host_graph, host_profile
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    ok = F.col("l_orderkey")
+    pk = F.col("l_partkey")
+    urls = li.select(
+        F.concat(
+            F.lit("https://H"),
+            (ok % 40).cast("string"),
+            F.lit(".Example.com"),
+            F.when(ok % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            ok.cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            (pk % 40).cast("string"),
+            F.lit(".example.com/q/"),
+            pk.cast("string"),
+        ).alias("dst_url"),
+    )
+    return host_profile(host_graph(urls))
+
+
+_HOST_PROFILE_ORACLE = """
+WITH urls AS (
+  SELECT 'https://H' || CAST(l_orderkey % 40 AS VARCHAR) || '.Example.com'
+         || (CASE WHEN l_orderkey % 3 = 0 THEN ':8080' ELSE '' END)
+         || '/p/' || CAST(l_orderkey AS VARCHAR) AS src_url,
+         'http://h' || CAST(l_partkey % 40 AS VARCHAR)
+         || '.example.com/q/' || CAST(l_partkey AS VARCHAR) AS dst_url
+  FROM lineitem WHERE l_linenumber = 1
+),
+he AS (
+  SELECT lower(regexp_extract(trim(src_url),
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS src_host,
+         lower(regexp_extract(trim(dst_url),
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS dst_host
+  FROM urls
+),
+hg AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM he WHERE src_host <> '' AND dst_host <> '' GROUP BY 1, 2
+),
+outs AS (
+  SELECT src_host AS host, SUM(weight) AS out_links,
+         COUNT(DISTINCT dst_host) AS out_hosts,
+         SUM(CASE WHEN src_host = dst_host THEN weight ELSE 0 END)
+           AS self_links
+  FROM hg GROUP BY 1
+),
+ins AS (
+  SELECT dst_host AS host, SUM(weight) AS in_links,
+         COUNT(DISTINCT src_host) AS in_hosts
+  FROM hg GROUP BY 1
+)
+SELECT COALESCE(o.host, i.host) AS host,
+       CAST(COALESCE(o.out_links, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(i.in_links, 0) AS BIGINT) AS in_links,
+       CAST(COALESCE(o.out_hosts, 0) AS BIGINT) AS out_hosts,
+       CAST(COALESCE(i.in_hosts, 0) AS BIGINT) AS in_hosts,
+       CAST(COALESCE(o.self_links, 0) AS BIGINT) AS self_links,
+       ROUND(COALESCE(o.self_links, 0)
+             / NULLIF(CAST(COALESCE(o.out_links, 0) AS DOUBLE), 0), 6)
+         AS intra_frac
+FROM outs o FULL JOIN ins i ON o.host = i.host
+"""
+
+
 def _q_sssp_r4(spark, sf_dir):
     """Multi-source weighted shortest paths, 4 Bellman-Ford relaxations
     from seeds {0, 1} on the weighted T graph (sssp.py — sparse frontier,
@@ -1282,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "quality_filter": _q_quality_filter,
         "sssp_r4": _q_sssp_r4,
+        "host_profile": _q_host_profile,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2164,6 +2240,7 @@ CROSS JOIN nd n CROSS JOIN ad a
             walk_length=3, seed=42, p=0.25, q=2.0
         ),
         "sssp_r4": _sssp_oracle_sql(rounds=4),
+        "host_profile": _HOST_PROFILE_ORACLE,
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

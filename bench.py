@@ -195,6 +195,7 @@ def main() -> None:
         "node2vec_walks_l3",
         "quality_filter",
         "sssp_r4",
+        "host_profile",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
