@@ -839,6 +839,93 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_coloring_r3(spark, sf_dir):
+    """Three deterministic Jones-Plassmann rounds on the undirected T
+    graph (coloring.py): hash-priority local maxima take the minimum
+    excluded neighbor color; -1 marks still-undecided vertices. The
+    oracle replays each round with a NOT-EXISTS priority test (row
+    comparison on (h60, vid)) and an anti-join mex."""
+    from comm_detect_spark.operators.coloring import jones_plassmann
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    return jones_plassmann(spark, e, rounds=3, seed=42)
+
+
+def _coloring_oracle_sql(rounds: int = 3, seed: int = 42) -> str:
+    """Unrolled Jones-Plassmann replay: per round a winners CTE (no
+    uncolored neighbor with larger (h60, vid) priority), a used-colors
+    CTE, and an anti-join minimum-excluded-color pick over a global
+    0..maxdeg+1 series."""
+    pri = (
+        f"CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('{seed}:', "
+        f"CAST({{v}} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    head = f"""t0 AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst
+  FROM lineitem WHERE l_linenumber = 1
+),
+ga AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM t0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS a, src AS b FROM t0 WHERE src <> dst
+  )
+),
+verts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM t0 UNION ALL SELECT dst FROM t0
+  )
+),
+series AS (
+  -- candidate colors 0..n-1 (DuckDB's range() takes only constant
+  -- bounds; |verts| >= maxdeg+1 always covers the greedy color bound)
+  SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS i FROM verts
+),
+s0 AS (SELECT vid, CAST(-1 AS BIGINT) AS color FROM verts)"""
+    ctes = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""win{r} AS (
+  SELECT s.vid FROM s{p} s
+  WHERE s.color < 0 AND NOT EXISTS (
+    SELECT 1 FROM ga e JOIN s{p} t ON t.vid = e.a
+    WHERE e.b = s.vid AND t.color < 0
+      AND ({pri.format(v='t.vid')}, t.vid)
+          > ({pri.format(v='s.vid')}, s.vid)
+  )
+),
+used{r} AS (
+  SELECT DISTINCT e.b AS vid, t.color
+  FROM ga e JOIN s{p} t ON t.vid = e.a
+  WHERE t.color >= 0
+),
+mex{r} AS (
+  SELECT w.vid, MIN(g.i) AS c
+  FROM win{r} w
+  CROSS JOIN series g
+  LEFT JOIN used{r} u ON u.vid = w.vid AND u.color = g.i
+  WHERE u.vid IS NULL
+  GROUP BY w.vid
+),
+s{r} AS (
+  SELECT s.vid,
+         CASE WHEN s.color >= 0 THEN s.color
+              WHEN m.c IS NOT NULL THEN m.c
+              ELSE CAST(-1 AS BIGINT) END AS color
+  FROM s{p} s LEFT JOIN mex{r} m ON s.vid = m.vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vid, color FROM s{rounds}"
+    )
+
+
 def _q_host_profile(spark, sf_dir):
     """Domain-graph rollup + per-host audit (hostgraph.py): synthetic
     page URLs (mixed-case hosts, a :8080 port on every third source page)
@@ -1358,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "sssp_r4": _q_sssp_r4,
         "host_profile": _q_host_profile,
+        "coloring_r3": _q_coloring_r3,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2241,6 +2329,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         ),
         "sssp_r4": _sssp_oracle_sql(rounds=4),
         "host_profile": _HOST_PROFILE_ORACLE,
+        "coloring_r3": _coloring_oracle_sql(rounds=3, seed=42),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

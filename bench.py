@@ -196,6 +196,7 @@ def main() -> None:
         "quality_filter",
         "sssp_r4",
         "host_profile",
+        "coloring_r3",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -31,7 +31,8 @@ def main():
                     choices=["pagerank", "ppr", "hits", "cc", "scc", "anf",
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
-                             "profile", "linkpred", "seeded_lpa", "sssp"])
+                             "profile", "linkpred", "seeded_lpa", "sssp",
+                             "coloring"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -234,6 +235,11 @@ def main():
         from comm_detect_spark.operators.graphstats import graph_profile
 
         out = graph_profile(edges)
+    elif args.algo == "coloring":
+        from comm_detect_spark.operators.coloring import jones_plassmann
+
+        out = jones_plassmann(spark, edges, rounds=args.rounds or 8,
+                              seed=args.seed)
     elif args.algo == "sssp":
         from comm_detect_spark.operators.sssp import sssp
 
