@@ -839,6 +839,63 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_cms_sketch(spark, sf_dir):
+    """4x64 count-min sketch over the events user stream (cms.py): the
+    sketch CELLS are deterministic (md5 bucketing), so the oracle rebuilds
+    the exact counter matrix, not just estimates."""
+    from comm_detect_spark.operators.cms import cms_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_sketch(ev, "user_id", depth=4, width=64, seed=42)
+
+
+def _q_cms_user_est(spark, sf_dir):
+    """Count-min estimates for every distinct user: probe rows (key x
+    depth) against the 4x64 sketch, min over depths. Overestimate-only
+    (est >= exact count) is the CMS guarantee — pytest-gated; the driver
+    row checks the estimates integer-exactly."""
+    from comm_detect_spark.operators.cms import cms_estimate, cms_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_sketch(ev, "user_id", depth=4, width=64, seed=42)
+    keys = ev.select(F.col("user_id").alias("k")).distinct()
+    return cms_estimate(sk, keys, "k", depth=4, width=64, seed=42)
+
+
+_CMS_BUCKET_SQL = (
+    "CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('42:', CAST(d.d AS VARCHAR), "
+    "':', CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64"
+)
+
+_CMS_SKETCH_ORACLE = f"""
+WITH ds AS (SELECT i AS d FROM (VALUES (0), (1), (2), (3)) t(i)),
+cells AS (
+  SELECT CAST(d.d AS BIGINT) AS d, {_CMS_BUCKET_SQL} AS bucket
+  FROM events e CROSS JOIN ds d
+)
+SELECT CAST(d AS INT) AS d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY d, bucket
+"""
+
+_CMS_EST_ORACLE = f"""
+WITH ds AS (SELECT i AS d FROM (VALUES (0), (1), (2), (3)) t(i)),
+sketch AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT CAST(d.d AS BIGINT) AS d, {_CMS_BUCKET_SQL} AS bucket
+    FROM events e CROSS JOIN ds d
+  ) GROUP BY d, bucket
+),
+probes AS (
+  SELECT DISTINCT CAST(e.user_id AS VARCHAR) AS k, CAST(d.d AS BIGINT) AS d,
+         {_CMS_BUCKET_SQL} AS bucket
+  FROM events e CROSS JOIN ds d
+)
+SELECT p.k, MIN(COALESCE(s.cnt, 0)) AS est
+FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.k
+"""
+
+
 def _q_coloring_r3(spark, sf_dir):
     """Three deterministic Jones-Plassmann rounds on the undirected T
     graph (coloring.py): hash-priority local maxima take the minimum
@@ -1446,6 +1503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_r4": _q_sssp_r4,
         "host_profile": _q_host_profile,
         "coloring_r3": _q_coloring_r3,
+        "cms_sketch_events": _q_cms_sketch,
+        "cms_user_est": _q_cms_user_est,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2330,6 +2389,8 @@ CROSS JOIN nd n CROSS JOIN ad a
         "sssp_r4": _sssp_oracle_sql(rounds=4),
         "host_profile": _HOST_PROFILE_ORACLE,
         "coloring_r3": _coloring_oracle_sql(rounds=3, seed=42),
+        "cms_sketch_events": _CMS_SKETCH_ORACLE,
+        "cms_user_est": _CMS_EST_ORACLE,
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

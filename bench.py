@@ -197,6 +197,8 @@ def main() -> None:
         "sssp_r4",
         "host_profile",
         "coloring_r3",
+        "cms_sketch_events",
+        "cms_user_est",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -391,3 +391,42 @@ def windowed_distinct_stream(
             "sketch",
         )
     )
+
+
+def windowed_cms_stream(
+    events,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 42,
+    watermark: str = "2 hours",
+):
+    """Streaming twin of a per-hour count-min sketch (operators/cms.py):
+    (hour_epoch, d, bucket, cnt) — the SAME explode + md5-bucket + SUM
+    aggregation under a watermark. SUM is commutative so arrival order is
+    irrelevant, but unlike the FM twin's bit_or it is NOT idempotent: the
+    stream equals the batch sketch under Structured Streaming's
+    exactly-once state guarantee (each input row folded once), not under
+    arbitrary replays — stated, not hidden. State per open window =
+    depth x width int64."""
+    from pyspark.sql import functions as F
+
+    from comm_detect_spark.operators.cms import _bucket
+
+    ev = events.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select("ts", "d", _bucket(seed, width).alias("bucket"))
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"),
+            "d",
+            "bucket",
+            "cnt",
+        )
+    )
