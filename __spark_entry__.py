@@ -896,6 +896,97 @@ GROUP BY p.k
 """
 
 
+def _q_bloom_words(spark, sf_dir):
+    """1024-bit / 4-hash Bloom filter over the events user set (bloom.py):
+    the 64-bit words are deterministic (md5 bit positions + bit_or), so
+    the oracle rebuilds the array integer-exactly."""
+    from comm_detect_spark.operators.bloom import bloom_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bloom_build(ev, "user_id", num_bits=1024, num_hashes=4, seed=42)
+
+
+def _q_bloom_probe_mix(spark, sf_dir):
+    """Probe the events-user Bloom filter with every present user PLUS 20
+    ghost keys: presents are all True (no false negatives), ghosts are
+    deterministic — whatever the bit collisions say, both engines say it."""
+    from comm_detect_spark.operators.bloom import bloom_build, bloom_probe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bl = bloom_build(ev, "user_id", num_bits=1024, num_hashes=4, seed=42)
+    ghosts = spark.range(20).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("k")
+    )
+    keys = (
+        ev.select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+        .unionAll(ghosts)
+    )
+    return bloom_probe(bl, keys, num_bits=1024, num_hashes=4, seed=42)
+
+
+_BLOOM_WORDS_SQL = """
+  SELECT CAST(pos // 64 AS BIGINT) AS word_idx,
+         bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                WHEN TRUE THEN CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS word
+  FROM (
+    SELECT CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('42:',
+             CAST(h.i AS VARCHAR), ':', p.k)), 1, 15)) AS BIGINT)
+           % 1024 AS pos
+    FROM probe_keys p
+    CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i)) h
+  ) GROUP BY 1
+"""
+
+_BLOOM_BUILD_ORACLE = f"""
+WITH probe_keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+)
+{_BLOOM_WORDS_SQL}
+"""
+
+_BLOOM_PROBE_ORACLE = f"""
+WITH build_keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+),
+words AS (
+  SELECT CAST(pos // 64 AS BIGINT) AS word_idx,
+         bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                WHEN TRUE THEN CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS word
+  FROM (
+    SELECT CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('42:',
+             CAST(h.i AS VARCHAR), ':', p.k)), 1, 15)) AS BIGINT)
+           % 1024 AS pos
+    FROM build_keys p
+    CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i)) h
+  ) GROUP BY 1
+),
+qkeys AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'g' || CAST(i AS VARCHAR) FROM range(0, 20) r(i)
+),
+checks AS (
+  SELECT q.k,
+         CAST(pos // 64 AS BIGINT) AS word_idx,
+         CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END AS bit
+  FROM (
+    SELECT q.k, CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('42:',
+             CAST(h.i AS VARCHAR), ':', q.k)), 1, 15)) AS BIGINT)
+           % 1024 AS pos
+    FROM qkeys q
+    CROSS JOIN (SELECT i FROM (VALUES (0), (1), (2), (3)) t(i)) h
+  ) q
+)
+SELECT c.k,
+       bool_and(w.word IS NOT NULL AND (w.word & c.bit) <> 0)
+         AS maybe_present
+FROM checks c LEFT JOIN words w ON c.word_idx = w.word_idx
+GROUP BY c.k
+"""
+
+
 def _q_coloring_r3(spark, sf_dir):
     """Three deterministic Jones-Plassmann rounds on the undirected T
     graph (coloring.py): hash-priority local maxima take the minimum
@@ -1505,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_r3": _q_coloring_r3,
         "cms_sketch_events": _q_cms_sketch,
         "cms_user_est": _q_cms_user_est,
+        "bloom_words": _q_bloom_words,
+        "bloom_probe_mix": _q_bloom_probe_mix,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2391,6 +2484,8 @@ CROSS JOIN nd n CROSS JOIN ad a
         "coloring_r3": _coloring_oracle_sql(rounds=3, seed=42),
         "cms_sketch_events": _CMS_SKETCH_ORACLE,
         "cms_user_est": _CMS_EST_ORACLE,
+        "bloom_words": _BLOOM_BUILD_ORACLE,
+        "bloom_probe_mix": _BLOOM_PROBE_ORACLE,
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

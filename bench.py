@@ -199,6 +199,8 @@ def main() -> None:
         "coloring_r3",
         "cms_sketch_events",
         "cms_user_est",
+        "bloom_words",
+        "bloom_probe_mix",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

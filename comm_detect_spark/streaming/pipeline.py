@@ -430,3 +430,45 @@ def windowed_cms_stream(
             "cnt",
         )
     )
+
+
+def bloom_stream(
+    events,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    num_bits: int = 4096,
+    num_hashes: int = 4,
+    seed: int = 42,
+    watermark: str = "2 hours",
+):
+    """Streaming twin of a per-hour Bloom filter (operators/bloom.py):
+    (hour_epoch, word_idx, word) — the same explode + md5 bit position +
+    bit_or aggregation under a watermark. bit_or is commutative AND
+    idempotent, so the streamed words equal the batch filter bit-for-bit
+    under arbitrary replays and arrival orders (the FM-twin argument —
+    the strongest streaming-parity guarantee in the repo). State per open
+    window <= num_bits/64 int64 words."""
+    from pyspark.sql import functions as F
+
+    from comm_detect_spark.operators.bloom import _bitpos
+
+    ev = events.select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+    ).select("ts", _bitpos(seed, num_bits).alias("pos"))
+    return (
+        ev.select(
+            "ts",
+            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"),
+            "word_idx",
+            "word",
+        )
+    )
