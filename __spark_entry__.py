@@ -896,6 +896,27 @@ GROUP BY p.k
 """
 
 
+def _q_value_hist(spark, sf_dir):
+    """Per-event-type fixed-bin histogram of the value column
+    (histogram.py): bin = floor(value / 0.5) — a pure function of the
+    multiset (no arrival-order state like t-digest), so both engines
+    produce the identical integer counts."""
+    from comm_detect_spark.operators.histogram import binned_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return binned_histogram(ev, "value", bin_width=0.5,
+                            group_col="event_type")
+
+
+_VALUE_HIST_ORACLE = """
+SELECT event_type AS grp,
+       CAST(FLOOR(value / 0.5) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _q_bloom_words(spark, sf_dir):
     """1024-bit / 4-hash Bloom filter over the events user set (bloom.py):
     the 64-bit words are deterministic (md5 bit positions + bit_or), so
@@ -1598,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_est": _q_cms_user_est,
         "bloom_words": _q_bloom_words,
         "bloom_probe_mix": _q_bloom_probe_mix,
+        "value_hist_by_type": _q_value_hist,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2486,6 +2508,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         "cms_user_est": _CMS_EST_ORACLE,
         "bloom_words": _BLOOM_BUILD_ORACLE,
         "bloom_probe_mix": _BLOOM_PROBE_ORACLE,
+        "value_hist_by_type": _VALUE_HIST_ORACLE,
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

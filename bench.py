@@ -201,6 +201,7 @@ def main() -> None:
         "cms_user_est",
         "bloom_words",
         "bloom_probe_mix",
+        "value_hist_by_type",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
