@@ -113,6 +113,11 @@ def random_walks(
                 F.lit(f":{t}"),
             )
         )
+        # persist each step's frontier: the output union holds one branch
+        # per step and branch t's plan CONTAINS the whole step-1..t join
+        # chain — unpersisted, executing the union recomputes O(L^2)
+        # joins (measured: L1/L2/L3 = 7/20/41 exchanges); cached, each
+        # frontier computes once and later branches read memory
         frontier = (
             frontier.join(adj, frontier.v == adj.src)
             .select(
@@ -121,7 +126,7 @@ def random_walks(
                     "nbrs", (h % F.size("nbrs") + 1).cast("int")
                 ).alias("v"),
             )
-        )
+        ).persist()
         out = out.unionAll(
             frontier.select(
                 "walk_id",
@@ -224,9 +229,11 @@ def weighted_random_walks(
         pick = F.element_at(
             F.filter("nbrs", lambda s: s["cumw"] > r), 1
         )["dst"]
+        # persist per step — union branch t replays the whole join chain
+        # otherwise (see random_walks)
         frontier = frontier.join(adj, frontier.v == adj.src).select(
             "walk_id", pick.alias("v")
-        )
+        ).persist()
         out = out.unionAll(
             frontier.select(
                 "walk_id",
@@ -388,7 +395,7 @@ def node2vec_walks(
             F.col("v").alias("u"),
             pick(lambda s: s["w"], 1).alias("v"),
         )
-    )
+    ).persist()
     out = out.unionAll(
         frontier.select(
             "walk_id", F.lit(1).cast("int").alias("step"),
@@ -424,7 +431,9 @@ def node2vec_walks(
         # previous-vertex column, silently degrading every class weight
         frontier = fr.select(
             "walk_id", "v", pick(wgt, t).alias("_nxt")
-        ).select("walk_id", F.col("v").alias("u"), F.col("_nxt").alias("v"))
+        ).select(
+            "walk_id", F.col("v").alias("u"), F.col("_nxt").alias("v")
+        ).persist()  # union branch t replays the chain otherwise
         out = out.unionAll(
             frontier.select(
                 "walk_id",
