@@ -896,6 +896,60 @@ GROUP BY p.k
 """
 
 
+def _q_katz_iter4(spark, sf_dir):
+    """Katz centrality, 4 attenuated power iterations on the weighted T
+    graph (katz.py — same one-exchange-per-iteration contract as
+    pagerank, no global reduce in the loop). Oracle unrolls
+    x_t = beta + alpha * A^T x_{t-1} at full float64, rounding 9 at the
+    end only."""
+    from comm_detect_spark.operators.katz import katz
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.groupBy(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    verts = (
+        e.select(F.col("src").alias("vid"))
+        .unionAll(e.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return katz(spark, e, iterations=4, alpha=0.05, vertices=verts)
+
+
+def _katz_oracle_sql(iters: int = 4, alpha: float = 0.05,
+                     beta: float = 1.0) -> str:
+    head = f"""t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2
+),
+kverts AS (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM t_dir UNION ALL SELECT dst FROM t_dir
+  )
+),
+k0 AS (SELECT vid, CAST({beta} AS DOUBLE) AS score FROM kverts)"""
+    ctes = [head]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"""k{t} AS (
+  SELECT v.vid, {beta} + {alpha} * COALESCE(c.s, 0) AS score
+  FROM kverts v
+  LEFT JOIN (
+    SELECT g.dst AS vid, SUM(g.w * k.score) AS s
+    FROM t_dir g JOIN k{p} k ON g.src = k.vid
+    GROUP BY g.dst
+  ) c ON v.vid = c.vid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vid, ROUND(score, 9) AS score FROM k{iters}"
+    )
+
+
 def _q_value_hist(spark, sf_dir):
     """Per-event-type fixed-bin histogram of the value column
     (histogram.py): bin = floor(value / 0.5) — a pure function of the
@@ -1620,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_words": _q_bloom_words,
         "bloom_probe_mix": _q_bloom_probe_mix,
         "value_hist_by_type": _q_value_hist,
+        "katz_iter4": _q_katz_iter4,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2509,6 +2564,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         "bloom_words": _BLOOM_BUILD_ORACLE,
         "bloom_probe_mix": _BLOOM_PROBE_ORACLE,
         "value_hist_by_type": _VALUE_HIST_ORACLE,
+        "katz_iter4": _katz_oracle_sql(iters=4, alpha=0.05, beta=1.0),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

@@ -202,6 +202,7 @@ def main() -> None:
         "bloom_words",
         "bloom_probe_mix",
         "value_hist_by_type",
+        "katz_iter4",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -32,7 +32,7 @@ def main():
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
                              "profile", "linkpred", "seeded_lpa", "sssp",
-                             "coloring"])
+                             "coloring", "katz"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -235,6 +235,11 @@ def main():
         from comm_detect_spark.operators.graphstats import graph_profile
 
         out = graph_profile(edges)
+    elif args.algo == "katz":
+        from comm_detect_spark.operators.katz import katz
+
+        out = katz(spark, edges, n, iterations=args.iterations,
+                   driver=driver, vertices=vids)
     elif args.algo == "coloring":
         from comm_detect_spark.operators.coloring import jones_plassmann
 
