@@ -896,6 +896,46 @@ GROUP BY p.k
 """
 
 
+def _q_betweenness_k4(spark, sf_dir):
+    """Approximate betweenness (k=4 hash-chosen Brandes pivots, unweighted
+    directed T graph, source-parallel passes — betweenness.py). Oracle:
+    the independent Python Brandes replay on the same DuckDB-derived edge
+    set, emitted as VALUES (two-pass dependency accumulation is not a
+    recursive-CTE shape — the honest oracle form, same as louvain)."""
+    from comm_detect_spark.operators.betweenness import betweenness_approx
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.groupBy(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return betweenness_approx(spark, e, k_sources=4, seed=42, max_depth=8)
+
+
+def _betweenness_oracle_values_sql(sf_dir: str) -> str:
+    """Generate the betweenness_k4 oracle: derive the SAME directed T
+    edge pairs DuckDB-side, run the independent Python Brandes replay
+    (betweenness.numpy_betweenness — the Spark path never touches it),
+    emit (vid, bc) VALUES rounded 9."""
+    import duckdb
+
+    from comm_detect_spark.operators.betweenness import numpy_betweenness
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+SELECT DISTINCT l_orderkey % 400 AS src, l_partkey % 400 AS dst
+FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE l_linenumber = 1
+"""
+    ).fetchall()
+    bc = numpy_betweenness(rows, None, k_sources=4, seed=42, max_depth=8)
+    vals = ",".join(f"({v},{bc[v]!r})" for v in sorted(bc))
+    return (
+        "SELECT CAST(vid AS BIGINT) AS vid, CAST(bc AS DOUBLE) AS bc "
+        f"FROM (VALUES {vals}) AS t(vid, bc)"
+    )
+
+
 def _q_katz_iter4(spark, sf_dir):
     """Katz centrality, 4 attenuated power iterations on the weighted T
     graph (katz.py — same one-exchange-per-iteration contract as
@@ -1675,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe_mix": _q_bloom_probe_mix,
         "value_hist_by_type": _q_value_hist,
         "katz_iter4": _q_katz_iter4,
+        "betweenness_k4": _q_betweenness_k4,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2989,6 +3030,9 @@ SELECT id AS vec_id, MIN(comp) AS cluster FROM sem_reach GROUP BY id
         out["louvain_sweep1"] = _louvain_sweep1_oracle_values_sql(_oracle_sf_dir())
         out["embedding_ivf_top5"] = _ivf_top5_oracle_sql(_oracle_sf_dir())
         out["kcore_38"] = _kcore_oracle_values_sql(_oracle_sf_dir(), 38)
+        out["betweenness_k4"] = _betweenness_oracle_values_sql(
+            _oracle_sf_dir()
+        )
     return out
 
 

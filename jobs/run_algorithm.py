@@ -32,7 +32,7 @@ def main():
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
                              "profile", "linkpred", "seeded_lpa", "sssp",
-                             "coloring", "katz"])
+                             "coloring", "katz", "betweenness"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -235,6 +235,12 @@ def main():
         from comm_detect_spark.operators.graphstats import graph_profile
 
         out = graph_profile(edges)
+    elif args.algo == "betweenness":
+        from comm_detect_spark.operators.betweenness import betweenness_approx
+
+        out = betweenness_approx(spark, edges, k_sources=args.k,
+                                 seed=args.seed,
+                                 max_depth=args.hops)
     elif args.algo == "katz":
         from comm_detect_spark.operators.katz import katz
 
