@@ -896,6 +896,41 @@ GROUP BY p.k
 """
 
 
+def _q_conductance_mod10(spark, sf_dir):
+    """Per-community conductance of the vid%10 partition on g_sym
+    (modularity.py:community_conductance) — the boundary-quality twin of
+    modularity_mod10, identical symmetric-table conventions in both
+    engines (each undirected edge counted twice, factor cancels)."""
+    from comm_detect_spark.operators.modularity import community_conductance
+
+    sym = _g_sym(spark, sf_dir)
+    labels = _g_verts(spark, sf_dir).select(
+        "vid", (F.col("vid") % 10).alias("label")
+    )
+    return community_conductance(sym, labels)
+
+
+_CONDUCTANCE_ORACLE = f"""
+WITH {_SQL_G},
+tagged AS (
+  SELECT e.weight, e.src % 10 AS la, e.dst % 10 AS lb FROM g_sym e
+),
+per AS (
+  SELECT la AS label,
+         CAST(SUM(weight) AS BIGINT) AS vol_w,
+         CAST(SUM(CASE WHEN la <> lb THEN weight ELSE 0 END) AS BIGINT)
+           AS cut_w
+  FROM tagged GROUP BY la
+),
+tot AS (SELECT SUM(vol_w) AS t FROM per)
+SELECT label, vol_w, cut_w,
+       ROUND(cut_w / NULLIF(LEAST(CAST(vol_w AS DOUBLE),
+                                  CAST(t - vol_w AS DOUBLE)), 0), 9)
+         AS conductance
+FROM per CROSS JOIN tot
+"""
+
+
 def _q_betweenness_k4(spark, sf_dir):
     """Approximate betweenness (k=4 hash-chosen Brandes pivots, unweighted
     directed T graph, source-parallel passes — betweenness.py). Oracle:
@@ -1716,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_hist_by_type": _q_value_hist,
         "katz_iter4": _q_katz_iter4,
         "betweenness_k4": _q_betweenness_k4,
+        "conductance_mod10": _q_conductance_mod10,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2606,6 +2642,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         "bloom_probe_mix": _BLOOM_PROBE_ORACLE,
         "value_hist_by_type": _VALUE_HIST_ORACLE,
         "katz_iter4": _katz_oracle_sql(iters=4, alpha=0.05, beta=1.0),
+        "conductance_mod10": _CONDUCTANCE_ORACLE,
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

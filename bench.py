@@ -204,6 +204,7 @@ def main() -> None:
         "value_hist_by_type",
         "katz_iter4",
         "betweenness_k4",
+        "conductance_mod10",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

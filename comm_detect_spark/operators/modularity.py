@@ -53,3 +53,51 @@ def modularity_score(edges: DataFrame, labels: DataFrame) -> float:
         ).alias("q")
     ).collect()[0]
     return float(row["q"] or 0.0)
+
+
+def community_conductance(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """(label, vol_w, cut_w, conductance): per-community conductance over
+    a SYMMETRIC weighted edge table — the other standard partition-quality
+    score next to modularity (compute_modularity above): low conductance =
+    few boundary edges relative to the community's volume.
+
+    Convention (stated, engine-replayable): vol(c) = sum of w over
+    symmetric rows with src in c; cut(c) = the subset of that with dst
+    outside c; conductance = cut / min(vol, total_vol - vol), NULL for a
+    community with vol 0 or vol == total (no outside). Each undirected
+    edge contributes twice to both numerator family and denominators, so
+    the factor cancels; rounded 9.
+
+    One labels join per endpoint (vertex-keyed, AQE hub split) + one
+    map-side-combined agg over communities + a 1-row total broadcast —
+    community-count-sized output."""
+    la = labels.select(F.col("vid").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("vid").alias("dst"), F.col("label").alias("lb"))
+    tagged = edges.join(la, "src").join(lb, "dst")
+    per = tagged.groupBy(F.col("la").alias("label")).agg(
+        F.sum("weight").alias("vol_w"),
+        F.sum(
+            F.when(F.col("la") != F.col("lb"), F.col("weight")).otherwise(
+                F.lit(0)
+            )
+        ).alias("cut_w"),
+    )
+    total = per.agg(F.sum("vol_w").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "label",
+        "vol_w",
+        "cut_w",
+        F.round(
+            F.col("cut_w")
+            / F.nullif(
+                F.least(
+                    F.col("vol_w").cast("double"),
+                    (F.col("tot") - F.col("vol_w")).cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("conductance"),
+    )

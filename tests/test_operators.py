@@ -310,3 +310,46 @@ class TestHits:
         for v in (1, 2, 3):
             assert out[v][0] == 0.0
             assert out[v][1] == pytest.approx(1 / np.sqrt(3), abs=1e-9)
+
+
+class TestConductance:
+    def test_two_cliques_with_bridge(self, spark):
+        from comm_detect_spark.operators.modularity import (
+            community_conductance,
+        )
+        from tests.conftest import edges_df
+
+        # two triangles {0,1,2} and {3,4,5} joined by one bridge 2-3,
+        # symmetric unit weights; labels = the two triangles
+        und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        pairs = und + [(b, a) for a, b in und]
+        e = edges_df(
+            spark, 6, [a for a, _ in pairs], [b for _, b in pairs],
+            [1] * len(pairs),
+        )
+        labels = spark.createDataFrame(
+            [(v, 0 if v < 3 else 1) for v in range(6)], "vid long, label long"
+        )
+        got = {
+            r["label"]: r
+            for r in community_conductance(e, labels).collect()
+        }
+        # each side: vol = 2*3 (intra, both directions) + 1 (bridge) = 7,
+        # cut = 1, conductance = 1/min(7, 7) = 1/7
+        for lab in (0, 1):
+            assert got[lab]["vol_w"] == 7
+            assert got[lab]["cut_w"] == 1
+            assert abs(got[lab]["conductance"] - 1 / 7) < 1e-9
+
+    def test_single_community_is_null(self, spark):
+        from comm_detect_spark.operators.modularity import (
+            community_conductance,
+        )
+        from tests.conftest import edges_df
+
+        e = edges_df(spark, 2, [0, 1], [1, 0], [1, 1])
+        labels = spark.createDataFrame(
+            [(0, 7), (1, 7)], "vid long, label long"
+        )
+        r = community_conductance(e, labels).collect()[0]
+        assert r["cut_w"] == 0 and r["conductance"] is None
