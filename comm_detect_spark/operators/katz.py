@@ -39,11 +39,15 @@ def katz(
     driver: IterationDriver | None = None,
     vertices: DataFrame | None = None,
     num_partitions: int | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(vid BIGINT, score DOUBLE): x_{t} = beta + alpha * sum over
     in-edges (w * x_{t-1}[src]), from x_0 = beta, for ``iterations``
     rounds, scores rounded to 9 decimals at the END only (the repo's
-    cross-engine sum-order convention)."""
+    cross-engine sum-order convention). With a checkpoint-backed driver
+    and ``resume=True``, continues from the latest snapshot iteration —
+    kill-at-k == uninterrupted (the recurrence is deterministic and the
+    snapshot IS x_k)."""
     drv = driver or IterationDriver()
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
@@ -62,9 +66,16 @@ def katz(
     )
     e.count()
 
-    state = drv.start(verts.select("vid", F.lit(float(beta)).alias("score")))
-    it = 0
-    for it in range(1, iterations + 1):
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        state, start_it, _ = resumed
+    else:
+        state = drv.start(
+            verts.select("vid", F.lit(float(beta)).alias("score"))
+        )
+        start_it = 0
+    it = start_it
+    for it in range(start_it + 1, iterations + 1):
         gathered = (
             e.join(
                 state.select(

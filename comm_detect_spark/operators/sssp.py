@@ -44,12 +44,16 @@ def sssp(
     max_rounds: int = 50,
     driver: IterationDriver | None = None,
     num_partitions: int | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """(vid BIGINT, dist BIGINT): length of the shortest weighted path
     from the nearest of ``sources`` after ``rounds`` relaxations (or to
     fixpoint when ``rounds`` is None). Only reached vertices appear.
     Parallel edges collapse to their minimum weight first (min-plus
-    semantics). Raises on negative weights."""
+    semantics). Raises on negative weights. With a checkpoint-backed
+    driver and ``resume=True``, fixpoint mode continues from the latest
+    snapshot (an already-converged run — last logged changed == 0 —
+    returns it untouched; same contract as connected_components)."""
     drv = driver or IterationDriver()
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
@@ -69,14 +73,26 @@ def sssp(
         raise ValueError(f"sssp: {neg} negative-weight edges (min-plus "
                          "relaxation requires w >= 0)")
 
-    dist = drv.start(
-        spark.createDataFrame(
-            [(int(s), 0) for s in sorted(set(sources))], "vid long, dist long"
-        ).repartition(p, "vid")
-    )
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        dist, start_it, hist = resumed
+        if (
+            rounds is None
+            and int(hist.get(start_it, {}).get("changed", 1)) == 0
+        ):
+            e.unpersist()
+            return drv.finish(start_it)
+    else:
+        dist = drv.start(
+            spark.createDataFrame(
+                [(int(s), 0) for s in sorted(set(sources))],
+                "vid long, dist long",
+            ).repartition(p, "vid")
+        )
+        start_it = 0
     n_rounds = rounds if rounds is not None else max_rounds
-    it = 0
-    for it in range(1, n_rounds + 1):
+    it = start_it
+    for it in range(start_it + 1, n_rounds + 1):
         relaxed = (
             e.join(dist.withColumnRenamed("vid", "src"), "src")
             .select(

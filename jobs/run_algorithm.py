@@ -245,7 +245,7 @@ def main():
         from comm_detect_spark.operators.katz import katz
 
         out = katz(spark, edges, n, iterations=args.iterations,
-                   driver=driver, vertices=vids)
+                   driver=driver, vertices=vids, resume=args.resume)
     elif args.algo == "coloring":
         from comm_detect_spark.operators.coloring import jones_plassmann
 
@@ -260,7 +260,7 @@ def main():
             r["vid"] for r in spark.read.parquet(args.seeds).collect()
         ]
         out = sssp(spark, edges, seed_ids, rounds=args.rounds,
-                   driver=driver)
+                   driver=driver, resume=args.resume)
     elif args.algo == "seeded_lpa":
         from comm_detect_spark.operators.lpa import seeded_lpa
 

@@ -414,3 +414,94 @@ class TestOperatorResumeFlag:
             n,
         )
         assert np.array_equal(resumed, full)
+
+
+class TestResumeKatzSssp:
+    EDGES = [
+        (0, 1, 1), (0, 2, 2), (1, 2, 1), (2, 3, 1), (3, 0, 3), (1, 4, 1),
+        (4, 2, 2),
+    ]
+
+    def _edges(self, spark):
+        from tests.conftest import edges_df
+
+        return edges_df(
+            spark, 5,
+            [s for s, _, _ in self.EDGES],
+            [d for _, d, _ in self.EDGES],
+            [w for _, _, w in self.EDGES],
+        )
+
+    def test_katz_kill_at_k_resumes_identical(self, spark, tmp_path):
+        from comm_detect_spark.operators.katz import katz
+
+        e = self._edges(spark)
+        full = {
+            r["vid"]: r["score"]
+            for r in katz(spark, e, 5, iterations=8, alpha=0.1).collect()
+        }
+        # "crash" after 3 iterations, then resume to 8 with the flag
+        store = CheckpointStore(str(tmp_path), "kz", algo="katz")
+        katz(spark, e, 5, iterations=3, alpha=0.1,
+             driver=IterationDriver(store=store, checkpoint_every=1))
+        assert store.latest_iteration() == 3
+        store2 = CheckpointStore(str(tmp_path), "kz", algo="katz")
+        got = {
+            r["vid"]: r["score"]
+            for r in katz(
+                spark, e, 5, iterations=8, alpha=0.1,
+                driver=IterationDriver(store=store2, checkpoint_every=1),
+                resume=True,
+            ).collect()
+        }
+        assert got == full
+
+    def test_sssp_kill_mid_fixpoint_resumes_identical(self, spark, tmp_path):
+        from comm_detect_spark.operators.sssp import sssp
+
+        e = self._edges(spark)
+        full = {
+            r["vid"]: r["dist"] for r in sssp(spark, e, [0]).collect()
+        }
+        # crash after 1 relaxation round (fixed-rounds run against the
+        # same store), then resume in fixpoint mode
+        store = CheckpointStore(str(tmp_path), "sp", algo="sssp")
+        sssp(spark, e, [0], rounds=1,
+             driver=IterationDriver(store=store, checkpoint_every=1))
+        assert store.latest_iteration() == 1
+        store2 = CheckpointStore(str(tmp_path), "sp", algo="sssp")
+        got = {
+            r["vid"]: r["dist"]
+            for r in sssp(
+                spark, e, [0],
+                driver=IterationDriver(store=store2, checkpoint_every=1),
+                resume=True,
+            ).collect()
+        }
+        assert got == full
+
+    def test_sssp_resume_after_convergence_is_noop(self, spark, tmp_path):
+        from comm_detect_spark.operators.sssp import sssp
+
+        e = self._edges(spark)
+        store = CheckpointStore(str(tmp_path), "sp2", algo="sssp")
+        full = {
+            r["vid"]: r["dist"]
+            for r in sssp(
+                spark, e, [0],
+                driver=IterationDriver(store=store, checkpoint_every=1),
+            ).collect()
+        }
+        last = store.latest_iteration()
+        store2 = CheckpointStore(str(tmp_path), "sp2", algo="sssp")
+        got = {
+            r["vid"]: r["dist"]
+            for r in sssp(
+                spark, e, [0],
+                driver=IterationDriver(store=store2, checkpoint_every=1),
+                resume=True,
+            ).collect()
+        }
+        assert got == full
+        # the converged-run fast path must not add new snapshots
+        assert store2.latest_iteration() == last
