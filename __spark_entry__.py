@@ -896,6 +896,50 @@ GROUP BY p.k
 """
 
 
+def _q_ego_subgraph_k2(spark, sf_dir):
+    """Induced 2-out-hop ego subgraph of seeds {0, 1} on the weighted T
+    graph (subgraph.py): frontier reach rounds + one semi-join per
+    endpoint — the debugging/sampling primitive, never a collect."""
+    from comm_detect_spark.operators.subgraph import khop_subgraph
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.groupBy(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    ).agg(F.count(F.lit(1)).alias("weight"))
+    return khop_subgraph(spark, e, [0, 1], k=2)
+
+
+def _ego_oracle_sql(k: int = 2) -> str:
+    head = """t_dir AS (
+  SELECT l_orderkey % 400 AS src, l_partkey % 400 AS dst,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2
+),
+r0 AS (SELECT CAST(vid AS BIGINT) AS vid
+       FROM (VALUES (0), (1)) AS s(vid))"""
+    ctes = [head]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT DISTINCT vid FROM (
+    SELECT vid FROM r{i - 1}
+    UNION ALL
+    SELECT e.dst AS vid FROM t_dir e JOIN r{i - 1} r ON e.src = r.vid
+  )
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT e.src, e.dst, e.weight
+FROM t_dir e
+JOIN r{k} a ON e.src = a.vid
+JOIN r{k} b ON e.dst = b.vid
+"""
+    )
+
+
 def _q_conductance_mod10(spark, sf_dir):
     """Per-community conductance of the vid%10 partition on g_sym
     (modularity.py:community_conductance) — the boundary-quality twin of
@@ -1752,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_iter4": _q_katz_iter4,
         "betweenness_k4": _q_betweenness_k4,
         "conductance_mod10": _q_conductance_mod10,
+        "ego_subgraph_k2": _q_ego_subgraph_k2,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2643,6 +2688,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         "value_hist_by_type": _VALUE_HIST_ORACLE,
         "katz_iter4": _katz_oracle_sql(iters=4, alpha=0.05, beta=1.0),
         "conductance_mod10": _CONDUCTANCE_ORACLE,
+        "ego_subgraph_k2": _ego_oracle_sql(k=2),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

@@ -205,6 +205,7 @@ def main() -> None:
         "katz_iter4",
         "betweenness_k4",
         "conductance_mod10",
+        "ego_subgraph_k2",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
