@@ -136,3 +136,126 @@ def test_decontaminate_containment_property(spark, words, extra):
     }
     assert got[0] is True
     assert got[1] is False
+
+
+@st.composite
+def weighted_digraph(draw):
+    """Random directed weighted edge list (no self loops, deduped)."""
+    n = draw(st.integers(3, 12))
+    m = draw(st.integers(1, 30))
+    pairs = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n - 1),
+                st.integers(0, n - 1),
+                st.integers(1, 5),
+            ),
+            min_size=m,
+            max_size=m,
+        )
+    )
+    seen = {}
+    for a, b, w in pairs:
+        if a != b:
+            seen[(a, b)] = w
+    if not seen:
+        seen = {(0, 1): 1}
+    return n, sorted((a, b, w) for (a, b), w in seen.items())
+
+
+@given(g=weighted_digraph())
+@settings(**_SETTINGS)
+def test_sssp_matches_bellman_ford_on_random_digraphs(spark, g):
+    from comm_detect_spark.operators.sssp import sssp
+    from tests.conftest import edges_df
+    from tests.test_sssp import _py_bf
+
+    n, edges = g
+    e = edges_df(
+        spark, n,
+        [a for a, _, _ in edges],
+        [b for _, b, _ in edges],
+        [w for _, _, w in edges],
+    )
+    got = {r["vid"]: r["dist"] for r in sssp(spark, e, [0], rounds=3).collect()}
+    assert got == _py_bf(edges, [0], 3)
+
+
+@given(g=weighted_digraph())
+@settings(**_SETTINGS)
+def test_betweenness_matches_brandes_on_random_digraphs(spark, g):
+    from comm_detect_spark.operators.betweenness import (
+        betweenness_approx,
+        numpy_betweenness,
+    )
+    from tests.conftest import edges_df
+
+    n, edges = g
+    e = edges_df(
+        spark, n,
+        [a for a, _, _ in edges],
+        [b for _, b, _ in edges],
+        [1] * len(edges),
+    )
+    got = {
+        r["vid"]: r["bc"]
+        for r in betweenness_approx(spark, e, k_sources=2).collect()
+    }
+    assert got == numpy_betweenness(
+        [(a, b) for a, b, _ in edges], None, k_sources=2
+    )
+
+
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=30)
+)
+@settings(**_SETTINGS)
+def test_cms_never_underestimates_random_keys(spark, keys):
+    from collections import Counter
+
+    from comm_detect_spark.operators.cms import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = cms_sketch(df, "k", depth=3, width=8)
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            sk, df.select("k").distinct(), depth=3, width=8
+        ).collect()
+    }
+    true = Counter(keys)
+    assert all(est[k] >= c for k, c in true.items())
+
+
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=30)
+)
+@settings(**_SETTINGS)
+def test_bloom_has_no_false_negatives_random_keys(spark, keys):
+    from comm_detect_spark.operators.bloom import bloom_build, bloom_probe
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bl = bloom_build(df, "k", num_bits=256, num_hashes=3)
+    got = bloom_probe(
+        bl, df.select("k").distinct(), num_bits=256, num_hashes=3
+    ).collect()
+    assert all(r["maybe_present"] for r in got)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-50, 50, allow_nan=False), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_histogram_counts_partition_the_input(spark, vals):
+    from comm_detect_spark.operators.histogram import binned_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    h = binned_histogram(df, "v", bin_width=2.5).collect()
+    assert sum(r["cnt"] for r in h) == len(vals)
+    import math
+    from collections import Counter
+
+    want = Counter(math.floor(v / 2.5) for v in vals)
+    assert {r["bin"]: r["cnt"] for r in h} == dict(want)
