@@ -472,3 +472,36 @@ def bloom_stream(
             "word",
         )
     )
+
+
+def windowed_histogram_stream(
+    events,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bin_width: float = 1.0,
+    watermark: str = "2 hours",
+):
+    """Streaming twin of a per-hour fixed-bin histogram
+    (operators/histogram.py): (hour_epoch, bin, cnt) — floor-binning plus
+    a windowed COUNT under a watermark. COUNT is commutative (order-free)
+    and, like the CMS twin, equals batch under Structured Streaming's
+    exactly-once state guarantee; the bin function is a pure expression,
+    so no per-key state beyond the open windows' bins exists."""
+    from pyspark.sql import functions as F
+
+    ev = events.where(F.col(value_col).isNotNull()).select(
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.floor(F.col(value_col) / F.lit(bin_width))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("hour_epoch"),
+            "bin",
+            "cnt",
+        )
+    )

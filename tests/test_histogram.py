@@ -88,3 +88,43 @@ class TestHistogramQuantiles:
         h = binned_histogram(df, "v")
         with pytest.raises(ValueError):
             histogram_quantiles(h, [1.5])
+
+
+class TestWindowedHistogramStream:
+    def test_matches_batch_per_window_histogram(self, spark, tmp_path):
+        from tests.test_streaming import _run_stream
+
+        from comm_detect_spark.streaming.pipeline import (
+            windowed_histogram_stream,
+        )
+
+        batch = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        src_dir = str(tmp_path / "evhist")
+        batch.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        _run_stream(
+            windowed_histogram_stream(stream, bin_width=0.5),
+            "win_hist",
+            "complete",
+        )
+        got = {
+            (r["hour_epoch"], r["bin"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM win_hist").collect()
+        }
+        want = {
+            (r["hour_epoch"], r["bin"]): r["cnt"]
+            for r in batch.where(F.col("value").isNotNull())
+            .groupBy(
+                F.unix_timestamp(F.date_trunc("hour", "ts"))
+                .cast("bigint")
+                .alias("hour_epoch"),
+                F.floor(F.col("value") / 0.5).cast("bigint").alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
