@@ -896,6 +896,40 @@ GROUP BY p.k
 """
 
 
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, cnt) training pairs from the uniform
+    T-graph walk corpus (walks.py:skipgram_pairs, window 2) — the
+    word2vec input the DeepWalk pipeline exists to produce. The oracle
+    nests the walk-replay SQL as a CTE and replays the same banded
+    self-join."""
+    from comm_detect_spark.operators.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    return skipgram_pairs(random_walks(e, walk_length=3, seed=42), window=2)
+
+
+def _skipgram_oracle_sql(window: int = 2) -> str:
+    inner = _walks_oracle_sql(walk_length=3, seed=42)
+    return f"""
+WITH walk_tbl AS (
+{inner}
+)
+SELECT a.vid AS center, b.vid AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM walk_tbl a JOIN walk_tbl b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2
+"""
+
+
 def _q_ego_subgraph_k2(spark, sf_dir):
     """Induced 2-out-hop ego subgraph of seeds {0, 1} on the weighted T
     graph (subgraph.py): frontier reach rounds + one semi-join per
@@ -1797,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_k4": _q_betweenness_k4,
         "conductance_mod10": _q_conductance_mod10,
         "ego_subgraph_k2": _q_ego_subgraph_k2,
+        "skipgram_pairs_w2": _q_skipgram_pairs,
         "seeded_lpa_r3": _q_seeded_lpa,
         "semantic_clusters": _q_semantic_clusters,
         "events_distinct_fm": _q_events_distinct,
@@ -2689,6 +2724,7 @@ CROSS JOIN nd n CROSS JOIN ad a
         "katz_iter4": _katz_oracle_sql(iters=4, alpha=0.05, beta=1.0),
         "conductance_mod10": _CONDUCTANCE_ORACLE,
         "ego_subgraph_k2": _ego_oracle_sql(k=2),
+        "skipgram_pairs_w2": _skipgram_oracle_sql(window=2),
         "mis_r3": _mis_oracle_sql(rounds=3, seed=42),
         "ktruss_4_r2": _truss_oracle_sql(k=4, rounds=2),
         "partition_quality": f"""

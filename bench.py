@@ -206,6 +206,7 @@ def main() -> None:
         "betweenness_k4",
         "conductance_mod10",
         "ego_subgraph_k2",
+        "skipgram_pairs_w2",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

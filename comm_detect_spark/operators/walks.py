@@ -445,3 +445,41 @@ def node2vec_walks(
             frontier = frontier.localCheckpoint(eager=True)
             out = out.localCheckpoint(eager=True)
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(center, context, cnt): word2vec/SGNS training pairs from a walk
+    table (the random_walks/weighted/node2vec output shape — one
+    (walk_id, step, vid) row per visited vertex). A pair is two visits of
+    the SAME walk at step distance 1..window, emitted in both directions
+    (the standard skip-gram window), aggregated to multiplicities — the
+    actual training-data product the DeepWalk pipeline exists to feed.
+
+    Plan shape: ONE self-equi-join on walk_id with the |step diff| <=
+    window band predicate + one map-side-combined pair count. Per walk of
+    length L the join emits <= 2*L*window rows — linear in corpus size,
+    never quadratic (steps within one walk are at most L+1, and L is an
+    operator parameter, not data). At 100 TB of walks the join key
+    (walk_id) is uniform by construction (hash-minted ids), so no skew
+    guard is needed."""
+    a = walks.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sa"),
+        F.col("vid").alias("center"),
+    )
+    b = walks.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sb"),
+        F.col("vid").alias("context"),
+    )
+    return (
+        a.join(b, "w")
+        .where(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -297,3 +297,41 @@ class TestNode2VecWalks:
         assert len(from_zero) == 50
         returned = sum(1 for w in from_zero if step2.get(w) == 0)
         assert returned >= 45  # 1/p = 500 vs 4 competing unit ranges
+
+
+class TestSkipgramPairs:
+    def test_pairs_from_known_walk(self, spark):
+        from comm_detect_spark.operators.walks import skipgram_pairs
+
+        # one walk 0-1-2-3, window 2
+        rows = [(7, s, v) for s, v in enumerate([0, 1, 2, 3])]
+        w = spark.createDataFrame(rows, "walk_id long, step int, vid long")
+        got = {
+            (r["center"], r["context"]): r["cnt"]
+            for r in skipgram_pairs(w, window=2).collect()
+        }
+        want = {}
+        seq = [0, 1, 2, 3]
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if i != j and abs(i - j) <= 2:
+                    want[(c, x)] = want.get((c, x), 0) + 1
+        assert got == want
+
+    def test_multiplicities_accumulate_across_walks(self, spark):
+        from comm_detect_spark.operators.walks import skipgram_pairs
+
+        rows = [(1, 0, 5), (1, 1, 6), (2, 0, 5), (2, 1, 6)]
+        w = spark.createDataFrame(rows, "walk_id long, step int, vid long")
+        got = {
+            (r["center"], r["context"]): r["cnt"]
+            for r in skipgram_pairs(w, window=1).collect()
+        }
+        assert got == {(5, 6): 2, (6, 5): 2}
+
+    def test_no_cross_walk_pairs(self, spark):
+        from comm_detect_spark.operators.walks import skipgram_pairs
+
+        rows = [(1, 0, 5), (2, 0, 6)]
+        w = spark.createDataFrame(rows, "walk_id long, step int, vid long")
+        assert skipgram_pairs(w, window=5).count() == 0
