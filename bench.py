@@ -18,11 +18,14 @@ repetition; its per-rep throughput is recorded so a cross-round swing can
 be attributed to the host window (anchor moved with it) or the engine
 (anchor flat, query moved).
 
-The stdout contract line is deliberately COMPACT (the r4 enriched line
-outgrew the driver's tail capture and BENCH_r04.json could not be parsed);
-per-rep raw runs, the hardware anchor series, and the RMAT shape go to a
-sidecar JSON at $SPARK_GRAFT_BENCH_DETAIL (default BENCH/detail_latest.json,
-committed per round as BENCH/detail_r{N}.json).
+The stdout contract line is deliberately TINY (<1500 bytes, asserted):
+the driver's stdout tail capture is 2000 chars (measured from the
+committed BENCH_r04/r05 `tail` fields), and both the r4 and r5 lines
+outgrew it (`parsed: null` twice).  The line carries the scalar headline
+plus a ~10-entry headline queries map only; the FULL per-query
+median/min maps, per-rep raw runs, hardware anchor series, and RMAT
+shape go to a sidecar JSON at $SPARK_GRAFT_BENCH_DETAIL (default
+BENCH/detail_latest.json, committed per round as BENCH/detail_r{N}.json).
 
 The BASELINE.json target metric is edges-processed/sec per iteration for
 PageRank + LPA; those run over the deterministic RMAT bench graph
@@ -294,18 +297,33 @@ def main() -> None:
     except OSError as exc:  # never let the sidecar break the contract line
         print(f"detail sidecar write failed: {exc}", file=sys.stderr)
 
+    # Contract line budget: the driver's stdout tail capture is 2000 chars
+    # (measured from BENCH_r04/r05 `tail` fields, both exactly 2000 — the
+    # r5 line with two full 68-query maps was ~4.3 KB and truncated
+    # mid-key, `parsed: null` twice).  stdout therefore carries scalars
+    # plus a HEADLINE-ONLY queries map (the throughput drivers + the
+    # north-rule core, ~10 entries, ~400 bytes total); the full per-query
+    # median/min maps live in the sidecar alone.
+    headline_queries = [
+        "pagerank_rmat", "lpa_sync_rmat", "pagerank_iter1", "lpa_round1",
+        "cc_full", "triangle_total", "louvain_communities",
+        "louvain_multiblock", "corpus_dedup", "pack_shards",
+    ]
     result = {
         "metric": "edges_per_sec_per_iteration(pagerank+lpa)",
         "value": round((pr_eps + lpa_eps) / 2.0, 1),
         "unit": "edges/sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "queries_min": {k: round(v, 3) for k, v in mins.items()},
+        "queries": {
+            k: round(timings[k], 3) for k in headline_queries if k in timings
+        },
         "reps": reps,
         "sf": sf,
         "total_sec": total,
         "hw_anchor_median": round(statistics.median(anchors), 2),
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    assert len(line) < 1500, f"contract line {len(line)}B exceeds tail budget"
+    print(line)
     spark.stop()
 
 

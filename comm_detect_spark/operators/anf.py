@@ -295,10 +295,18 @@ def anf_hop_b_sums(
         new_sk.count()
         sk.unpersist()
         sk = new_sk
+        # materialize the hop's b_sum rows BEFORE the next round unpersists
+        # the sketch frame they read — otherwise evaluating the final union
+        # recomputes up to 2 propagation rounds for every hop off the
+        # every-3 checkpoint cadence (ADVICE r5). One vertex-sized
+        # checkpoint per hop, so the advertised "anf_sketches + one agg
+        # per hop" cost now actually holds.
         hop_b = anf_b_sum(sk).select(
             "vid", F.lit(h).cast("int").alias("hop"), "b_sum"
-        )
+        ).localCheckpoint(eager=True)
         out = hop_b if out is None else out.unionAll(hop_b)
+    e.unpersist()
+    sk.unpersist()
     return out.select("vid", "hop", "b_sum")
 
 

@@ -153,10 +153,13 @@ def betweenness_approx(
         .groupBy("vid")
         .agg(F.sum("delta").alias("bc"))
     )
+    # materialize, then release BOTH persisted inputs (verts previously
+    # leaked its cache across bench reps — ADVICE r5)
     out = verts.join(bc, "vid", "left").select(
         "vid", F.round(F.coalesce("bc", F.lit(0.0)), 9).alias("bc")
-    )
+    ).localCheckpoint(eager=True)
     e.unpersist()
+    verts.unpersist()
     return out
 
 

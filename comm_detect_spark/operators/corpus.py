@@ -102,7 +102,15 @@ def hash_split(
     60-bit md5(id || '#' || seed) mod ``denom``; cumulative fraction
     thresholds over the bucket assign the named splits, remainders land in
     the last split. Pure column expression (JVM-side, one scan, no
-    shuffle); the DuckDB oracle replays the identical md5 arithmetic."""
+    shuffle); the DuckDB oracle replays the identical md5 arithmetic.
+
+    .. note:: CHANGED in round 5: the boundary moved from
+       ``int(acc * denom)`` to ``round(acc * denom)`` (the truncation
+       pushed float error one bucket below the documented fraction).
+       Rows hashing exactly onto a boundary bucket are assigned
+       differently than by builds before that change — re-materialize
+       any persisted train/val splits from older runs rather than mixing
+       old and new assignments."""
     from comm_detect_spark.operators.dedup import _h60
 
     bucket = F.pmod(

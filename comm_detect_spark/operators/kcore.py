@@ -31,7 +31,10 @@ def k_core(
     checkpoint_every: int = 3,
 ) -> DataFrame:
     """(vid, in_core): vertices of the maximal subgraph in which every
-    vertex has degree >= k. Deterministic (pure function of the graph)."""
+    vertex has degree >= k. Deterministic (pure function of the graph).
+    Raises RuntimeError if peeling has not reached fixpoint within
+    ``max_iter`` rounds (e.g. a long path graph peels one layer per
+    round) — never returns in_core=True for an undecided vertex."""
     if k < 1:
         raise ValueError(f"k_core needs k >= 1, got {k}")
     simple = (
@@ -76,6 +79,22 @@ def k_core(
         cur.unpersist()
         peel.unpersist()
         cur = nxt
+    else:
+        # loop exhausted max_iter without the n_peel == 0 break: verify the
+        # survivor set actually reached fixpoint; if any vertex is still
+        # sub-k, the result would silently misclassify it as in-core
+        # (fail-loud contract, same as scc.py / sssp.py)
+        n_sub = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") < k)
+            .count()
+        )
+        if n_sub:
+            raise RuntimeError(
+                f"k_core: not converged after max_iter={max_iter} "
+                f"({n_sub} vertices still below degree {k}); raise max_iter"
+            )
     survivors = cur.select(F.col("src").alias("vid")).distinct()
     out = all_verts.join(
         survivors.withColumn("_in", F.lit(True)), "vid", "left"

@@ -50,7 +50,8 @@ def sssp(
     from the nearest of ``sources`` after ``rounds`` relaxations (or to
     fixpoint when ``rounds`` is None). Only reached vertices appear.
     Parallel edges collapse to their minimum weight first (min-plus
-    semantics). Raises on negative weights. With a checkpoint-backed
+    semantics). Raises on negative weights, and raises RuntimeError if
+    fixpoint mode exhausts ``max_rounds`` before converging. With a checkpoint-backed
     driver and ``resume=True``, fixpoint mode continues from the latest
     snapshot (an already-converged run — last logged changed == 0 —
     returns it untouched; same contract as connected_components)."""
@@ -92,6 +93,7 @@ def sssp(
         start_it = 0
     n_rounds = rounds if rounds is not None else max_rounds
     it = start_it
+    improved = 0
     for it in range(start_it + 1, n_rounds + 1):
         relaxed = (
             e.join(dist.withColumnRenamed("vid", "src"), "src")
@@ -127,6 +129,15 @@ def sssp(
                 break
         else:
             dist = drv.step(new_dist, it, changed=-1)
+    if rounds is None and improved > 0:
+        # fail-loud contract (same as scc.py): "to fixpoint" must never
+        # return non-converged distances that look like a correct result —
+        # a long weighted chain can need more than max_rounds relaxations
+        e.unpersist()
+        raise RuntimeError(
+            f"sssp: not converged after max_rounds={max_rounds} "
+            f"({improved} distances still improving); raise max_rounds"
+        )
     out = drv.finish(it)
     e.unpersist()
     return out

@@ -88,6 +88,7 @@ def random_walks(
     adj = e.groupBy("src").agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs")
     ).persist()
+    cached = [adj]  # every persisted frame, released via _finish_walks
 
     verts = (
         edges.select(F.col("src").cast("long").alias("vid"))
@@ -127,6 +128,7 @@ def random_walks(
                 ).alias("v"),
             )
         ).persist()
+        cached.append(frontier)
         out = out.unionAll(
             frontier.select(
                 "walk_id",
@@ -140,6 +142,18 @@ def random_walks(
         if t % 8 == 0 and t < walk_length:
             frontier = frontier.localCheckpoint(eager=True)
             out = out.localCheckpoint(eager=True)
+    return _finish_walks(out, cached)
+
+
+def _finish_walks(out: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize the walk table (eager localCheckpoint, reading the
+    just-filled step caches once) and RELEASE every persisted frame —
+    the scc.py persist->checkpoint->unpersist discipline. Without this,
+    repeated calls (bench reps) accumulate adjacency + per-step frontier
+    caches with no release handle (ADVICE r5)."""
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return out
 
 
@@ -201,6 +215,7 @@ def weighted_random_walks(
         )
         .persist()
     )
+    cached = [adj]
 
     verts = (
         edges.select(F.col("src").cast("long").alias("vid"))
@@ -234,6 +249,7 @@ def weighted_random_walks(
         frontier = frontier.join(adj, frontier.v == adj.src).select(
             "walk_id", pick.alias("v")
         ).persist()
+        cached.append(frontier)
         out = out.unionAll(
             frontier.select(
                 "walk_id",
@@ -244,7 +260,7 @@ def weighted_random_walks(
         if t % 8 == 0 and t < walk_length:
             frontier = frontier.localCheckpoint(eager=True)
             out = out.localCheckpoint(eager=True)
-    return out
+    return _finish_walks(out, cached)
 
 def node2vec_class_weights(p: float, q: float) -> tuple[int, int, int]:
     """node2vec's (1/p, 1, 1/q) transition biases as exact INTEGERS.
@@ -328,6 +344,7 @@ def node2vec_walks(
         )
         .persist()
     )
+    cached = [adj]
 
     verts = (
         edges.select(F.col("src").cast("long").alias("vid"))
@@ -385,7 +402,7 @@ def node2vec_walks(
         return scanned["pick"]
 
     if walk_length < 1:
-        return out
+        return _finish_walks(out, cached)
     # step 1: no previous vertex — plain edge-weight bias
     av = adj.select(F.col("src").alias("_vs"), "nbrs")
     frontier = (
@@ -396,6 +413,7 @@ def node2vec_walks(
             pick(lambda s: s["w"], 1).alias("v"),
         )
     ).persist()
+    cached.append(frontier)
     out = out.unionAll(
         frontier.select(
             "walk_id", F.lit(1).cast("int").alias("step"),
@@ -434,6 +452,7 @@ def node2vec_walks(
         ).select(
             "walk_id", F.col("v").alias("u"), F.col("_nxt").alias("v")
         ).persist()  # union branch t replays the chain otherwise
+        cached.append(frontier)
         out = out.unionAll(
             frontier.select(
                 "walk_id",
@@ -444,7 +463,7 @@ def node2vec_walks(
         if t % 8 == 0 and t < walk_length:
             frontier = frontier.localCheckpoint(eager=True)
             out = out.localCheckpoint(eager=True)
-    return out
+    return _finish_walks(out, cached)
 
 
 def skipgram_pairs(

@@ -40,24 +40,27 @@ def test_bench_stdout_last_line_is_compact_contract_json(tmp_path):
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert lines, "bench.py printed nothing to stdout"
     last = lines[-1]
-    # the r4 failure mode: the line must stay well inside any plausible
-    # stdout tail capture (the r4 enriched line was tens of KB)
-    assert len(last) < 8192, f"contract line too long: {len(last)} bytes"
+    # the r4/r5 failure mode: the driver's stdout tail capture is 2000
+    # chars (measured from the committed BENCH_r04/r05 `tail` fields) —
+    # both the 8KB r4 line and the 4.3KB r5 line were truncated mid-key.
+    # The line must fit the MEASURED consumer budget with headroom.
+    assert len(last) < 1500, f"contract line too long: {len(last)} bytes"
     parsed = json.loads(last)
-    for key in ("metric", "value", "unit", "queries", "queries_min",
+    for key in ("metric", "value", "unit", "queries",
                 "reps", "sf", "total_sec", "hw_anchor_median"):
         assert key in parsed, f"missing contract key {key}"
     assert parsed["unit"] == "edges/sec"
     assert parsed["value"] > 0
     assert parsed["reps"] == 1
-    assert parsed["queries"], "empty queries map"
-    assert set(parsed["queries_min"]) == set(parsed["queries"])
-    for q, med in parsed["queries"].items():
-        assert parsed["queries_min"][q] <= med + 1e-9
+    assert parsed["queries"], "empty headline queries map"
     # detail sidecar: full attribution moved OUT of stdout, not dropped
     with open(detail_path) as fh:
         detail = json.load(fh)
     for key in ("protocol", "runs", "median", "min", "hw_anchor",
                 "throughput"):
         assert key in detail, f"missing detail key {key}"
-    assert set(detail["median"]) == set(parsed["queries"])
+    # the stdout map is a strict headline subset of the sidecar's full map
+    assert set(parsed["queries"]) <= set(detail["median"])
+    for q, med in parsed["queries"].items():
+        assert detail["median"][q] == med
+    assert set(detail["min"]) == set(detail["median"])
