@@ -109,30 +109,76 @@ def main():
     factor = args.high / args.low
 
     # the sandbox's CPU grant is bursty (measured: per-thread numpy rate
-    # varies ~3x across minutes, swamping any single measurement). Protocol:
-    # interleave configs across `reps` repetitions, calibrate adjacent to
-    # every engine run, and take medians per config.
+    # varies ~3x across minutes — and the r5 replication's two calibration
+    # legs, taken hours apart, disagreed 4x, making its normalized number
+    # unattributable; VERDICT r5 wrong #2). Protocol v2: a FULL probe pair
+    # (low-thread AND high-thread calibration) runs immediately adjacent
+    # to EVERY engine leg — before the low leg, between the legs, and
+    # after the high leg — so each repetition carries 3 same-window probes
+    # per thread count. A repetition is REJECTED when its own probes
+    # disagree by more than PROBE_TOLERANCE (the window shifted mid-rep,
+    # so no denominator drawn from it is attributable); the run fails
+    # loudly if no repetition survives.
     import statistics
 
-    lows, highs, hws_low, hws_high = [], [], [], []
+    PROBE_TOLERANCE = 1.5
+    reps_data = []
     for _ in range(args.reps):
-        hws_low.append(calibrate(args.low))
-        lows.append(run_at(args.low, args.scale, args.ef, args.iters, args.sweeps))
-        hws_high.append(calibrate(args.high))
-        highs.append(run_at(args.high, args.scale, args.ef, args.iters, args.sweeps))
+        probes = {"low": [], "high": []}
+
+        def probe_pair():
+            probes["low"].append(calibrate(args.low))
+            probes["high"].append(calibrate(args.high))
+
+        probe_pair()
+        low_run = run_at(args.low, args.scale, args.ef, args.iters, args.sweeps)
+        probe_pair()
+        high_run = run_at(args.high, args.scale, args.ef, args.iters, args.sweeps)
+        probe_pair()
+        spread_low = max(probes["low"]) / min(probes["low"])
+        spread_high = max(probes["high"]) / min(probes["high"])
+        stable = spread_low <= PROBE_TOLERANCE and spread_high <= PROBE_TOLERANCE
+        reps_data.append({
+            "low": low_run,
+            "high": high_run,
+            "probes_low": [round(p, 2) for p in probes["low"]],
+            "probes_high": [round(p, 2) for p in probes["high"]],
+            "probe_spread": round(max(spread_low, spread_high), 3),
+            "stable": stable,
+            "hw_ratio": statistics.median(probes["high"])
+            / statistics.median(probes["low"]),
+        })
+
+    accepted = [r for r in reps_data if r["stable"]]
+    rejected = len(reps_data) - len(accepted)
+    if not accepted:
+        print(json.dumps({
+            "error": "no stable repetition: every rep's adjacent calibration "
+                     f"probes disagreed >{PROBE_TOLERANCE}x (host window "
+                     "shifting mid-rep); re-run in a quieter window",
+            "reps": [{k: r[k] for k in ("probes_low", "probes_high",
+                                        "probe_spread")} for r in reps_data],
+        }))
+        sys.exit(1)
 
     def med(runs, key):
         return statistics.median(r[key] for r in runs)
 
+    lows = [r["low"] for r in accepted]
+    highs = [r["high"] for r in accepted]
     low = dict(lows[0], pagerank_sec=med(lows, "pagerank_sec"),
                lpa_sec=med(lows, "lpa_sec"), pr_eps=med(lows, "pr_eps"),
                lpa_eps=med(lows, "lpa_eps"))
     high = dict(highs[0], pagerank_sec=med(highs, "pagerank_sec"),
                 lpa_sec=med(highs, "lpa_sec"), pr_eps=med(highs, "pr_eps"),
                 lpa_eps=med(highs, "lpa_eps"))
-    hw_low = statistics.median(hws_low)
-    hw_high = statistics.median(hws_high)
-    hw_ratio = hw_high / hw_low
+    hw_low = statistics.median(
+        p for r in accepted for p in r["probes_low"]
+    )
+    hw_high = statistics.median(
+        p for r in accepted for p in r["probes_high"]
+    )
+    hw_ratio = statistics.median(r["hw_ratio"] for r in accepted)
 
     pr_ratio = high["pr_eps"] / low["pr_eps"]
     lpa_ratio = high["lpa_eps"] / low["lpa_eps"]
@@ -145,6 +191,16 @@ def main():
             str(args.low): round(hw_low, 2),
             str(args.high): round(hw_high, 2),
         },
+        "probe_protocol": {
+            "tolerance": PROBE_TOLERANCE,
+            "reps_accepted": len(accepted),
+            "reps_rejected": rejected,
+            "per_rep": [
+                {k: r[k] for k in ("probes_low", "probes_high",
+                                   "probe_spread", "stable")}
+                for r in reps_data
+            ],
+        },
         "raw_efficiency_pagerank": round(pr_ratio / factor, 3),
         "raw_efficiency_lpa": round(lpa_ratio / factor, 3),
         "normalized_efficiency_pagerank": round(pr_ratio / hw_ratio, 3),
@@ -156,6 +212,7 @@ def main():
     )
     print(json.dumps(result))
 
+    n_accepted, n_reps = len(accepted), len(reps_data)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
@@ -167,9 +224,18 @@ North rule: >=0.8 throughput scaling efficiency going N -> 4N executors.
 No cluster exists in this sandbox, so per the round protocol we run the
 SAME job + input (RMAT scale={args.scale}, edge_factor={args.ef}, PCG64
 seed=42) at local[{args.low}] (N) and local[{args.high}] (4N); medians of
-{args.reps} interleaved repetitions (the host's CPU grant is bursty — a
-numpy calibration run adjacent to every engine run pins the achievable
-throughput in each window).
+{args.reps} interleaved repetitions.
+
+**Probe protocol v2 (r6 — fixes VERDICT r5 wrong #2):** a full
+calibration pair ({args.low}-thread AND {args.high}-thread numpy probe)
+runs immediately adjacent to EVERY engine leg — before the N leg,
+between the legs, and after the 4N leg — so each repetition carries 3
+same-window probes per thread count. A repetition whose own probes
+disagree >1.5x is REJECTED (the host window shifted mid-rep, so no
+denominator drawn from it is attributable; the r5 replication's
+calibration legs, taken hours apart, disagreed 4x — that run would have
+been auto-rejected under this protocol). This run: {n_accepted} of
+{n_reps} repetitions accepted (per-rep probe series in the JSON line).
 
 **Hardware caveat (measured, not assumed):** this sandbox advertises 32
 vCPUs but sustained parallel throughput saturates at ~{hw_ratio:.2f}x of
