@@ -210,6 +210,17 @@ def main() -> None:
         "conductance_mod10",
         "ego_subgraph_k2",
         "skipgram_pairs_w2",
+        # round-6 additions
+        "coreness_r3",
+        "stratified_sample",
+        "edge_sample_p25",
+        "degree_quantiles",
+        "landmark_dist_r3",
+        "bigram_top20",
+        "charlm_quality",
+        "host_pagerank",
+        "top_ranked_per_comm",
+        "containment_pairs",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

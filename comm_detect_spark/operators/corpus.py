@@ -282,3 +282,46 @@ def quality_filter(
             "keep"
         ),
     )
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    denom: int = 1_000_000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff
+    ``bucket(id, seed) < round(frac(stratum) * denom)`` where bucket is
+    the same 60-bit md5 arithmetic as hash_split. The training-mixture
+    primitive (e.g. downsample low-quality languages, upweight code):
+    membership depends ONLY on (id, seed, stratum fraction) — appending
+    or re-sharding the corpus never flips an existing decision, and the
+    same id keeps identical buckets across strata so samples at nested
+    rates are nested subsets. Strata absent from ``fractions`` fall back
+    to ``default_fraction``.
+
+    100 TB shape: pure column expressions (one scan, zero shuffles, no
+    Python); the fraction table enters as a literal CASE (pipeline
+    configs are tiny), so Catalyst folds it into the scan filter and
+    parquet row groups prune on the stratum column when it is a
+    partition key. Sampling decisions round the SAME way as hash_split
+    (round, not truncate — see the r5 boundary note there)."""
+    from comm_detect_spark.operators.dedup import _h60
+
+    bucket = F.pmod(
+        _h60(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+        F.lit(denom),
+    )
+    thresh = None
+    for name, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == name
+        lit = F.lit(round(frac * denom))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    thresh = (
+        F.lit(round(default_fraction * denom))
+        if thresh is None
+        else thresh.otherwise(round(default_fraction * denom))
+    )
+    return df.where(bucket < thresh)

@@ -414,3 +414,51 @@ def segment_dedup(
             F.count(F.lit(1)).alias("n_kept"),
         )
     )
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, containment): ASYMMETRIC shingle containment
+    |S_a ∩ S_b| / |S_a| for every ordered pair with containment >=
+    threshold (id_a != id_b, both directions emitted independently).
+
+    Jaccard misses subset duplicates — a paragraph quoted whole inside a
+    10x longer page scores J ≈ 0.1 but containment(quote, page) = 1.0;
+    containment is the near-dup signal for excerpt/boilerplate-wrapper
+    detection (Broder's "containment" companion to resemblance,
+    SEQUENCES'97). Same inverted-index join + hub-shingle guard as
+    ngram_jaccard_pairs — never all-pairs; candidate volume is bounded
+    by shared-shingle co-occurrence with df <= max_doc_freq."""
+    sh = shingles(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

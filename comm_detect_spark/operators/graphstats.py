@@ -159,3 +159,69 @@ def partition_quality(edges: DataFrame, num_partitions: int = 32) -> DataFrame:
         F.round("avg_load", 6).alias("avg_load"),
         F.round(F.col("max_load") / F.col("avg_load"), 6).alias("skew"),
     )
+
+def edge_sample(
+    edges: DataFrame, fraction: float, seed: int = 42,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic hash p-sampling of the edge table (graph
+    sparsification for sampled analytics at 100 TB): keep (src, dst) iff
+    ``h60('{seed}:{src}:{dst}') % denom < round(fraction * denom)``.
+    Membership is a pure function of (edge, seed) — append/re-shard
+    stable, replayable in any engine, and both orientations of an edge
+    decide independently (callers sampling an undirected graph should
+    canonicalize first). One scan, zero shuffles, no Python."""
+    from comm_detect_spark.operators.dedup import _h60
+
+    bucket = F.pmod(
+        _h60(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        ),
+        F.lit(denom),
+    )
+    return edges.where(bucket < F.lit(round(fraction * denom)))
+
+
+def degree_quantiles(
+    edges: DataFrame, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """(q, deg): exact interpolated quantiles of the simple-graph degree
+    distribution — the shape summary a crawl operator reads before
+    choosing hub caps / skew salts. percentile() here and quantile_cont
+    in the oracle both implement the standard linear-interpolation
+    estimator, so values match to rounding (6 dp).
+
+    100 TB note: exact percentile assembles the per-degree histogram on
+    one reducer — fine because the DOMAIN is small (distinct degree
+    values, not vertices). For a truly unbounded domain switch to
+    percentile_approx (t-digest) — same call shape."""
+    simple = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        simple.select(F.explode(F.array("a", "b")).alias("vid"))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    q_arr = ",".join(repr(float(q)) for q in qs)
+    # ONE aggregation for every requested quantile (percentile over an
+    # array literal), then unpack — not one scan per quantile
+    vals = deg.agg(F.expr(f"percentile(deg, array({q_arr}))").alias("v"))
+    return vals.select(
+        F.posexplode("v").alias("i", "deg_q")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(float(q)) for q in qs]), F.col("i") + 1
+        ).alias("q"),
+        F.round("deg_q", 6).alias("deg_q"),
+    )

@@ -131,3 +131,162 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             6,
         ).alias("coeff"),
     )
+
+def core_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_iter: int = 100,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(vid, coreness): per-vertex core number via distributed h-index
+    iteration (Montresor, De Pellegrini & Miorandi, "Distributed k-Core
+    Decomposition", IEEE TPDS 2013): start from c0(v) = deg(v) and repeat
+    c_{t+1}(v) = H({c_t(u) : u in N(v)}) — the h-index of the neighbors'
+    current estimates. The sequence is monotone non-increasing per vertex
+    and converges exactly to the core number. Complements k_core (the
+    single-k membership test): one run yields membership for EVERY k.
+
+    Fixed ``rounds`` keeps the plan static and the intermediate state
+    deterministic (the driver-oracle mode — round-t estimates are a pure
+    function of the graph); ``rounds=None`` iterates to fixpoint and
+    raises RuntimeError if ``max_iter`` is exhausted first (fail-loud,
+    same contract as k_core/scc/sssp).
+
+    Plan shape per round: ONE edge join against the current estimate +
+    one hash agg building the sorted neighbor-estimate array, then the
+    h-index is a pure JVM zip_with/filter fold — no per-row Python. The
+    collect_list per vertex is O(deg) (hub rows are wide but the web
+    graph's max degree is bounded by the same hub caps the walk/linkpred
+    operators apply upstream); at 100 TB the edge-sized exchange per
+    round dominates, identical to one LPA sweep. Lineage cut every
+    ``checkpoint_every`` rounds."""
+    simple = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("x"),
+            F.greatest("src", "dst").alias("y"),
+        )
+        .distinct()
+    )
+    sym = (
+        simple.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionAll(
+            simple.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        )
+        .persist()
+    )
+    sym.count()
+    cur = (
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    cur.count()
+    # h-index of the DESC-sorted neighbor estimates: the predicate
+    # sorted[i-1] >= i is a monotone prefix, so its true-count IS the
+    # h-index — one zip_with + filter + size, pure codegen
+    hidx = F.size(
+        F.filter(
+            F.zip_with(
+                F.reverse(F.sort_array(F.collect_list("nc"))),
+                F.sequence(F.lit(1), F.count(F.lit(1)).cast("int")),
+                lambda v, i: v >= i,
+            ),
+            lambda b: b,
+        )
+    ).cast("long")
+    n_rounds = rounds if rounds is not None else max_iter
+    converged = rounds is not None
+    for it in range(1, n_rounds + 1):
+        nxt = (
+            sym.join(
+                cur.select(F.col("vid").alias("dst"), F.col("c").alias("nc")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("vid"))
+            .agg(hidx.alias("c2"))
+            .join(cur, "vid")
+            .select("vid", F.least("c", "c2").alias("c"))
+        )
+        if it % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()
+        if rounds is None:
+            changed = (
+                nxt.withColumnRenamed("c", "c_new")
+                .join(cur, "vid")
+                .where(F.col("c_new") != F.col("c"))
+                .count()
+            )
+            cur.unpersist()
+            cur = nxt
+            if changed == 0:
+                converged = True
+                break
+        else:
+            cur.unpersist()
+            cur = nxt
+    if not converged:
+        sym.unpersist()
+        raise RuntimeError(
+            f"core_decomposition: not converged after max_iter={max_iter}; "
+            "raise max_iter"
+        )
+    out = cur.select("vid", F.col("c").alias("coreness")).localCheckpoint(
+        eager=True
+    )
+    cur.unpersist()
+    sym.unpersist()
+    return out
+
+
+def numpy_coreness(src, dst, rounds: int | None = None):
+    """Independent NumPy replay of core_decomposition's contract (h-index
+    iteration on the simple graph; rounds=None -> exact core numbers).
+    Used by tests and the generated VALUES oracle — the Spark path never
+    touches this code."""
+    import numpy as np
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    und = np.unique(np.stack([a, b], axis=1), axis=0)
+    s = np.concatenate([und[:, 0], und[:, 1]])
+    d = np.concatenate([und[:, 1], und[:, 0]])
+    vids = np.unique(s)
+    idx = {int(v): i for i, v in enumerate(vids)}
+    nbrs: list[list[int]] = [[] for _ in vids]
+    for u, v in zip(s, d):
+        nbrs[idx[int(u)]].append(idx[int(v)])
+    c = np.array([len(ns) for ns in nbrs], dtype=np.int64)
+
+    def h_index(vals):
+        vals = sorted(vals, reverse=True)
+        h = 0
+        for i, v in enumerate(vals, start=1):
+            if v >= i:
+                h = i
+            else:
+                break
+        return h
+
+    t = 0
+    while True:
+        t += 1
+        new = np.array(
+            [min(c[i], h_index([c[j] for j in ns]))
+             for i, ns in enumerate(nbrs)],
+            dtype=np.int64,
+        )
+        done = bool((new == c).all())
+        c = new
+        if rounds is not None and t >= rounds:
+            break
+        if rounds is None and done:
+            break
+    return vids, c

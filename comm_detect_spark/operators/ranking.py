@@ -201,3 +201,37 @@ def repetition_stats(
             F.round(F.col("top_c") / F.col("n_tokens"), 6),
         ).alias("top_token_frac"),
     )
+
+def bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(bigram, n): corpus-wide adjacent-word-pair counts over the same
+    whitespace-lower tokenization as doc_terms — the collocation /
+    phrase-mining profile (and the n=2 building block of an n-gram LM).
+
+    Plan: per-document word array, then ONE transform over index range
+    [1, len) pairs w[i-1] with w[i] (0-indexed Spark subscripts), explode,
+    one map-side-combined count — no self-join, no window, no Python.
+    Cost is linear in corpus tokens; the count agg's keys are the hot
+    stopword-pair heads, bounded the same way as wordcount (each key
+    reduces to one row, AQE splits skewed reducers)."""
+    words = docs.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ws")
+    ).select(F.filter("ws", lambda w: w != "").alias("ws"))
+    bigrams = words.select(
+        F.explode(
+            F.transform(
+                # sequence over positions 1..len-1 (empty when len < 2)
+                F.when(
+                    F.size("ws") >= 2,
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat(
+                    F.element_at(F.col("ws"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("ws"), i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))

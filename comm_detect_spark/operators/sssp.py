@@ -141,3 +141,89 @@ def sssp(
     out = drv.finish(it)
     e.unpersist()
     return out
+
+def landmark_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: list[int],
+    rounds: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(s BIGINT, vid BIGINT, dist BIGINT): per-LANDMARK shortest weighted
+    distances after ``rounds`` min-plus relaxations — sssp keeps only the
+    min over sources; this keeps each source's distance separately, the
+    landmark-embedding shape (k distance features per vertex for link
+    prediction / geo-partitioning; Das Sarma et al., "A Sketch-Based
+    Distance Oracle", WSDM'10 is the classic recipe).
+
+    Same plan as sssp with the state keyed (s, vid): one frontier join +
+    one map-side-combined min per round, state at most k x n rows (k =
+    len(landmarks), an operator constant). Hash-partitioned on vid so
+    the k-fold state of a vertex co-locates with its edges; lineage cut
+    every 3 rounds. Raises on negative weights (min-plus)."""
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    neg = e.where(F.col("w") < 0).count()
+    if neg:
+        e.unpersist()
+        raise ValueError(
+            f"landmark_distances: {neg} negative-weight edges"
+        )
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(landmarks))],
+        "s long, vid long, dist long",
+    ).repartition(p, "vid")
+    for it in range(1, rounds + 1):
+        relaxed = (
+            e.join(dist.withColumnRenamed("vid", "src"), "src")
+            .select(
+                "s",
+                F.col("dst").alias("vid"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            .groupBy("s", "vid")
+            .agg(F.min("cand").alias("cand"))
+        )
+        dist = (
+            dist.join(relaxed, ["s", "vid"], "full")
+            .select(
+                "s",
+                "vid",
+                F.least(
+                    F.coalesce("dist", F.col("cand")),
+                    F.coalesce("cand", F.col("dist")),
+                ).alias("dist"),
+            )
+        )
+        if it % 3 == 0 and it < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    out = dist.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def landmark_closeness(dists: DataFrame) -> DataFrame:
+    """(vid, reached, closeness): per-vertex landmark-closeness summary
+    from a landmark_distances table — reached = how many landmarks see
+    the vertex, closeness = reached / sum(dist) (0 when every seen
+    distance is 0, i.e. the landmark itself with no other landmark in
+    range). Rounded to 6 (cross-engine convention)."""
+    return dists.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("reached"),
+        F.round(
+            F.coalesce(
+                F.try_divide(F.count(F.lit(1)), F.sum("dist")), F.lit(0.0)
+            ),
+            6,
+        ).alias("closeness"),
+    )
