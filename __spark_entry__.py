@@ -2004,6 +2004,24 @@ LEFT JOIN contrib c ON h.host = c.host
 """
 
 
+def _q_pagerank_warm2(spark, sf_dir):
+    """Warm-start PageRank (the crawl-refresh pattern, pagerank.py
+    ``init=``): one iteration continued FROM the iter-1 rank vector. The
+    recurrence is memoryless, so warm(r1, 1 iter) must equal cold
+    2-iteration PageRank — which is exactly what the oracle unrolls; any
+    drift in the init plumbing (missing-vertex fill, dangling mass)
+    breaks the hash."""
+    edges = _g_directed(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    r1 = pagerank(spark, edges, vertices=verts, iterations=1)
+    r2 = pagerank(spark, edges, vertices=verts, iterations=1, init=r1)
+    return r2.select("vid", F.round("rank", 9).alias("rank"))
+
+
 def _q_top_ranked_per_comm(spark, sf_dir):
     """Top-3 vertices by 1-iteration PageRank within each mod-10
     community — the per-community leaders window (ROW_NUMBER over the
@@ -2092,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "top_ranked_per_comm": _q_top_ranked_per_comm,
         "containment_pairs": _q_containment_pairs,
+        "pagerank_warm2": _q_pagerank_warm2,
         # north-rule core — stays in the graded window every round
         "graph_volumes": _q_graph_volumes,
         "weight_net": _q_weight_net,
@@ -2114,9 +2133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _q_pack_shards,
         "quality_filter": _q_quality_filter,
         "segment_dedup": _q_segment_dedup,
-        "random_walks_l3": _q_walks,
         # -- past the graded window (driver-green in r01..r05; pytest keeps
         #    grading them side-by-side every session) ----------------------
+        "random_walks_l3": _q_walks,
         "minhash_signatures": _q_minhash,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -3131,6 +3150,7 @@ ranked AS (
 )
 SELECT label, vid, rank, rn FROM ranked WHERE rn <= 3
 """,
+        "pagerank_warm2": _pagerank_oracle_sql(iters=2),
         "containment_pairs": f"""
 WITH {_SQL_SHINGLES},
 rare AS (

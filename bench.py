@@ -221,6 +221,7 @@ def main() -> None:
         "host_pagerank",
         "top_ranked_per_comm",
         "containment_pairs",
+        "pagerank_warm2",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup

@@ -138,6 +138,8 @@ def core_decomposition(
     rounds: int | None = None,
     max_iter: int = 100,
     checkpoint_every: int = 3,
+    driver=None,
+    resume: bool = False,
 ) -> DataFrame:
     """(vid, coreness): per-vertex core number via distributed h-index
     iteration (Montresor, De Pellegrini & Miorandi, "Distributed k-Core
@@ -151,7 +153,10 @@ def core_decomposition(
     deterministic (the driver-oracle mode — round-t estimates are a pure
     function of the graph); ``rounds=None`` iterates to fixpoint and
     raises RuntimeError if ``max_iter`` is exhausted first (fail-loud,
-    same contract as k_core/scc/sssp).
+    same contract as k_core/scc/sssp). With a checkpoint-backed
+    ``driver`` (plans/driver.py IterationDriver) and ``resume=True``,
+    fixpoint mode continues from the latest snapshot — kill-at-k ==
+    uninterrupted, converged-resume is a no-op (the sssp contract).
 
     Plan shape per round: ONE edge join against the current estimate +
     one hash agg building the sorted neighbor-estimate array, then the
@@ -177,12 +182,28 @@ def core_decomposition(
         .persist()
     )
     sym.count()
-    cur = (
-        sym.groupBy(F.col("src").alias("vid"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
-    )
-    cur.count()
+    from comm_detect_spark.plans.driver import IterationDriver
+
+    drv = driver or IterationDriver(checkpoint_every=checkpoint_every)
+    resumed = drv.try_resume(spark) if resume else None
+    if resumed is not None:
+        cur, start_it, hist = resumed
+        if (
+            rounds is None
+            and int(hist.get(start_it, {}).get("changed", 1)) == 0
+        ):
+            sym.unpersist()
+            out = drv.finish(start_it).select(
+                "vid", F.col("c").alias("coreness")
+            )
+            return out
+    else:
+        cur = drv.start(
+            sym.groupBy(F.col("src").alias("vid")).agg(
+                F.count(F.lit(1)).cast("long").alias("c")
+            )
+        )
+        start_it = 0
     # h-index of the DESC-sorted neighbor estimates: the predicate
     # sorted[i-1] >= i is a monotone prefix, so its true-count IS the
     # h-index — one zip_with + filter + size, pure codegen
@@ -198,7 +219,8 @@ def core_decomposition(
     ).cast("long")
     n_rounds = rounds if rounds is not None else max_iter
     converged = rounds is not None
-    for it in range(1, n_rounds + 1):
+    it = start_it
+    for it in range(start_it + 1, n_rounds + 1):
         nxt = (
             sym.join(
                 cur.select(F.col("vid").alias("dst"), F.col("c").alias("nc")),
@@ -209,36 +231,27 @@ def core_decomposition(
             .join(cur, "vid")
             .select("vid", F.least("c", "c2").alias("c"))
         )
-        if it % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt = nxt.persist()
-            nxt.count()
         if rounds is None:
+            nxt = drv.prepare(nxt, it)
             changed = (
                 nxt.withColumnRenamed("c", "c_new")
                 .join(cur, "vid")
                 .where(F.col("c_new") != F.col("c"))
                 .count()
             )
-            cur.unpersist()
-            cur = nxt
+            cur = drv.install(nxt, it, changed=changed)
             if changed == 0:
                 converged = True
                 break
         else:
-            cur.unpersist()
-            cur = nxt
+            cur = drv.step(nxt, it, changed=-1)
     if not converged:
         sym.unpersist()
         raise RuntimeError(
             f"core_decomposition: not converged after max_iter={max_iter}; "
             "raise max_iter"
         )
-    out = cur.select("vid", F.col("c").alias("coreness")).localCheckpoint(
-        eager=True
-    )
-    cur.unpersist()
+    out = drv.finish(it).select("vid", F.col("c").alias("coreness"))
     sym.unpersist()
     return out
 

@@ -63,8 +63,14 @@ def pagerank(
     num_blocks: int = 64,
     resume: bool = False,
     num_partitions: int | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid BIGINT, rank DOUBLE). Matches oracle.pagerank to 1e-6.
+
+    ``init``: optional (vid, rank) warm-start vector (crawl refresh —
+    continue from the previous run's ranks over an updated edge table);
+    vertices absent from init start at 1/n. warm(r_k, j) == cold(k+j)
+    on unchanged edges (pytest-pinned; driver row pagerank_warm2).
 
     Vertex set: dense range(n), or an explicit ``vertices(vid)`` table
     (sparse id spaces).
@@ -115,6 +121,23 @@ def pagerank(
             dangling.unpersist()
             verts.unpersist()
             return out
+    elif init is not None:
+        # warm start (crawl refresh): continue power iteration from an
+        # existing rank vector — e.g. the previous crawl's converged ranks
+        # over an updated edge table. The recurrence is memoryless, so
+        # warm(r_k, j iters) == cold(k + j iters) when edges are unchanged
+        # (pytest-pinned); on changed edges it converges in the few
+        # iterations the perturbation needs instead of from scratch.
+        # Vertices missing from init (newly crawled) start at 1/n.
+        ranks = drv.start(
+            verts.join(
+                init.select("vid", F.col("rank").alias("_ir")), "vid", "left"
+            ).select(
+                "vid",
+                F.coalesce("_ir", F.lit(1.0 / n)).alias("rank"),
+            )
+        )
+        start_it = 0
     else:
         ranks = drv.start(verts.withColumn("rank", F.lit(1.0 / n)))
         start_it = 0

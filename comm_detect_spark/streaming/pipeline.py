@@ -505,3 +505,26 @@ def windowed_histogram_stream(
             "cnt",
         )
     )
+
+
+def streaming_stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    denom: int = 1_000_000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Streaming twin of operators/corpus.stratified_sample: the
+    membership rule is a pure per-row expression (md5 bucket vs literal
+    CASE threshold), so the twin IS the batch operator applied to a
+    streaming frame — completely STATELESS, append mode, no watermark,
+    no state store, identical decisions row-for-row with the batch path
+    (pytest-pinned). The training-mixture filter a live ingest pipeline
+    runs before the corpus ever lands."""
+    from comm_detect_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        docs, strata_col, fractions, id_col, seed, denom, default_fraction
+    )

@@ -505,3 +505,72 @@ class TestResumeKatzSssp:
         assert got == full
         # the converged-run fast path must not add new snapshots
         assert store2.latest_iteration() == last
+
+
+class TestCorenessResume:
+    EDGES = [(0, 1, 1), (1, 2, 1), (0, 2, 1), (2, 3, 1), (3, 4, 1),
+             (4, 5, 1), (5, 3, 1), (1, 4, 1)]
+
+    def _edges(self, spark):
+        from tests.conftest import edges_df
+
+        return edges_df(
+            spark, 6,
+            [s for s, _, _ in self.EDGES],
+            [d for _, d, _ in self.EDGES],
+            [w for _, _, w in self.EDGES],
+        )
+
+    def test_coreness_kill_mid_fixpoint_resumes_identical(
+        self, spark, tmp_path
+    ):
+        from comm_detect_spark.operators.kcore import core_decomposition
+
+        e = self._edges(spark)
+        full = {
+            r["vid"]: r["coreness"]
+            for r in core_decomposition(spark, e).collect()
+        }
+        # "crash" after 1 h-index round (fixed-rounds run against the
+        # same store), then resume in fixpoint mode
+        store = CheckpointStore(str(tmp_path), "co", algo="coreness")
+        core_decomposition(
+            spark, e, rounds=1,
+            driver=IterationDriver(store=store, checkpoint_every=1),
+        )
+        assert store.latest_iteration() == 1
+        store2 = CheckpointStore(str(tmp_path), "co", algo="coreness")
+        got = {
+            r["vid"]: r["coreness"]
+            for r in core_decomposition(
+                spark, e,
+                driver=IterationDriver(store=store2, checkpoint_every=1),
+                resume=True,
+            ).collect()
+        }
+        assert got == full
+
+    def test_coreness_converged_resume_is_noop(self, spark, tmp_path):
+        from comm_detect_spark.operators.kcore import core_decomposition
+
+        e = self._edges(spark)
+        store = CheckpointStore(str(tmp_path), "co2", algo="coreness")
+        full = {
+            r["vid"]: r["coreness"]
+            for r in core_decomposition(
+                spark, e,
+                driver=IterationDriver(store=store, checkpoint_every=1),
+            ).collect()
+        }
+        store2 = CheckpointStore(str(tmp_path), "co2", algo="coreness")
+        it_before = store2.latest_iteration()
+        got = {
+            r["vid"]: r["coreness"]
+            for r in core_decomposition(
+                spark, e,
+                driver=IterationDriver(store=store2, checkpoint_every=1),
+                resume=True,
+            ).collect()
+        }
+        assert got == full
+        assert store2.latest_iteration() == it_before

@@ -282,3 +282,38 @@ def test_walks_release_their_caches(spark):
     # the output localCheckpoint itself may register one entry, but the
     # adjacency + 3 per-step frontier caches must all be released
     assert after - before <= 1
+
+
+# ---------------------------------------------------------------------------
+# warm-start pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_warm_start_equals_cold_continuation(spark, jazz):
+    from comm_detect_spark.operators.pagerank import pagerank
+
+    n, s, d, w = jazz
+    e = _edges(spark, list(zip(s.tolist(), d.tolist())),
+               weights=w.tolist())
+    cold3 = {
+        r["vid"]: round(r["rank"], 9)
+        for r in pagerank(spark, e, n, iterations=3).collect()
+    }
+    r2 = pagerank(spark, e, n, iterations=2)
+    warm = {
+        r["vid"]: round(r["rank"], 9)
+        for r in pagerank(spark, e, n, iterations=1, init=r2).collect()
+    }
+    assert warm == cold3
+
+
+def test_pagerank_warm_start_fills_new_vertices(spark):
+    from comm_detect_spark.operators.pagerank import pagerank
+
+    # init covers only vertex 0; vertices 1..3 are "newly crawled" and
+    # must start at 1/n, not null
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    init = spark.createDataFrame([(0, 0.7)], "vid long, rank double")
+    got = pagerank(spark, e, 4, iterations=1, init=init)
+    assert got.where(F.col("rank").isNull()).count() == 0
+    assert got.count() == 4

@@ -294,3 +294,37 @@ class TestWindowedDistinctStream:
             for r in windowed_distinct_b_sums(batch, trials=4).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamingStratifiedSample:
+    def test_matches_batch_stratified_sample(self, spark, tmp_path):
+        """Append-mode streaming stratified sampling == the batch
+        operator's kept set (the membership rule is a pure per-row
+        expression, so the twin must make bit-identical decisions)."""
+        from comm_detect_spark.operators.corpus import stratified_sample
+        from comm_detect_spark.streaming.pipeline import (
+            streaming_stratified_sample,
+        )
+
+        fr = {"en": 0.5, "zh": 0.3, "de": 0.25}
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        src_dir = str(tmp_path / "docs_strat")
+        docs.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+        _run_stream(
+            streaming_stratified_sample(
+                stream, "lang", fr, default_fraction=0.1
+            ).select("doc_id", "lang"),
+            "docs_strat", "append",
+        )
+        got = {
+            (r["doc_id"], r["lang"])
+            for r in spark.sql("SELECT * FROM docs_strat").collect()
+        }
+        want = {
+            (r["doc_id"], r["lang"])
+            for r in stratified_sample(
+                docs, "lang", fr, default_fraction=0.1
+            ).select("doc_id", "lang").collect()
+        }
+        assert got == want and 0 < len(got) < docs.count()
