@@ -2066,6 +2066,65 @@ def _q_containment_pairs(spark, sf_dir):
     )
 
 
+def _q_graph_delta(spark, sf_dir):
+    """Crawl-to-crawl edge delta (graphstats.py:edge_diff): the old crawl
+    is the l_linenumber=1 slice of the link derivation, the new crawl the
+    full table — every directed edge classified added/removed/kept via
+    two anti-joins + one semi-join (the refresh-analysis primitive that
+    feeds warm-start PageRank)."""
+    from comm_detect_spark.operators.graphstats import edge_diff
+
+    li = _lineitem(spark, sf_dir)
+    old = (
+        li.where(F.col("l_linenumber") == 1)
+        .select(
+            (F.col("l_orderkey") % 1000).alias("src"),
+            (F.col("l_partkey") % 1000).alias("dst"),
+        )
+    )
+    new = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return edge_diff(old, new)
+
+
+def _q_shard_stats(spark, sf_dir):
+    """Per-shard rollup of the pack_shards layout — the audit a training
+    run does before reading shards: docs per shard, token totals, first
+    offset. Composes the two-phase prefix-sum packing with one hash agg;
+    the oracle extends the naive one-window SQL with the same rollup."""
+    from comm_detect_spark.operators.corpus import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_tokens = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("tokens")
+    )
+    packed = pack_shards(with_tokens, shard_tokens=5000)
+    joined = packed.join(
+        with_tokens.withColumnRenamed("doc_id", "id"), "id"
+    )
+    return joined.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("tokens_total"),
+        F.min("start_offset").cast("long").alias("first_offset"),
+    )
+
+
+def _q_ivf_recall_at5(spark, sf_dir):
+    """The engine measuring its own ANN quality: recall@5 of the IVF
+    index (nprobe=2 of 8 lists) against the exact brute-force top-5 for
+    the same query vector — ONE row, |IVF ∩ exact| / 5. Both sides are
+    replayed end-to-end in the oracle (the brute CTE + the generated
+    centroid-replay CTE), so the recall number itself is cross-engine
+    verified."""
+    brute = _q_embedding_top5(spark, sf_dir).select("id")
+    ivf = _q_embedding_ivf_top5(spark, sf_dir).select("id")
+    return brute.join(ivf, "id").agg(
+        F.round(F.count(F.lit(1)) / 5.0, 6).alias("recall_at5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-query registry.
 
@@ -2111,6 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ranked_per_comm": _q_top_ranked_per_comm,
         "containment_pairs": _q_containment_pairs,
         "pagerank_warm2": _q_pagerank_warm2,
+        "graph_delta": _q_graph_delta,
+        "shard_stats": _q_shard_stats,
+        "ivf_recall_at5": _q_ivf_recall_at5,
         # north-rule core — stays in the graded window every round
         "graph_volumes": _q_graph_volumes,
         "weight_net": _q_weight_net,
@@ -2128,13 +2190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "corpus_dedup": _q_corpus_dedup,
-        "decontaminate": _q_decontaminate,
-        "hash_split": _q_hash_split,
         "pack_shards": _q_pack_shards,
-        "quality_filter": _q_quality_filter,
         "segment_dedup": _q_segment_dedup,
         # -- past the graded window (driver-green in r01..r05; pytest keeps
         #    grading them side-by-side every session) ----------------------
+        "decontaminate": _q_decontaminate,
+        "hash_split": _q_hash_split,
+        "quality_filter": _q_quality_filter,
         "random_walks_l3": _q_walks,
         "minhash_signatures": _q_minhash,
         "simhash": _q_simhash,
@@ -2368,6 +2430,23 @@ FROM cand c JOIN base a ON a.id = c.id_a JOIN base b ON b.id = c.id_b
 WHERE ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+"""
+
+
+_EMBEDDING_TOP5_ORACLE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id AS id,
+         ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))),
+         6) AS cosine
+  FROM embeddings CROSS JOIN q
+)
+SELECT id, cosine FROM scored ORDER BY cosine DESC, id ASC LIMIT 5
 """
 
 
@@ -2936,21 +3015,7 @@ SELECT doc_id,
     ELSE 'de' END AS lang
 FROM scored
 """,
-        "embedding_top5": """
-WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
-),
-scored AS (
-  SELECT vec_id AS id,
-         ROUND(
-           list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
-           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))),
-         6) AS cosine
-  FROM embeddings CROSS JOIN q
-)
-SELECT id, cosine FROM scored ORDER BY cosine DESC, id ASC LIMIT 5
-""",
+        "embedding_top5": _EMBEDDING_TOP5_ORACLE,
         "cc_full": f"""
 WITH RECURSIVE {_SQL_G},
 reach(vid, comp) AS (
@@ -3151,6 +3216,49 @@ ranked AS (
 SELECT label, vid, rank, rn FROM ranked WHERE rn <= 3
 """,
         "pagerank_warm2": _pagerank_oracle_sql(iters=2),
+        "graph_delta": """
+WITH o AS (
+  SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+  FROM lineitem WHERE l_linenumber = 1
+),
+n AS (
+  SELECT DISTINCT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst
+  FROM lineitem
+)
+SELECT n.src, n.dst, 'added' AS status FROM n
+WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.src = n.src AND o.dst = n.dst)
+UNION ALL
+SELECT o.src, o.dst, 'removed' AS status FROM o
+WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.src = o.src AND n.dst = o.dst)
+UNION ALL
+SELECT n.src, n.dst, 'kept' AS status FROM n
+WHERE EXISTS (SELECT 1 FROM o WHERE o.src = n.src AND o.dst = n.dst)
+""",
+        "shard_stats": f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+         {_H60_SQL.format(x="CAST(doc_id AS VARCHAR) || '#42'")} AS hk
+  FROM documents
+),
+cum AS (
+  SELECT id, tok,
+         SUM(tok) OVER (ORDER BY hk, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - tok AS start_offset
+  FROM toks
+)
+SELECT CAST(FLOOR(start_offset / 5000) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tokens_total,
+       CAST(MIN(start_offset) AS BIGINT) AS first_offset
+FROM cum GROUP BY 1
+""",
+        "ivf_recall_at5": f"""
+SELECT ROUND(COUNT(*) / 5.0, 6) AS recall_at5
+FROM ({_EMBEDDING_TOP5_ORACLE}) b
+JOIN ({_ivf_top5_oracle_sql(_oracle_sf_dir())}) i ON b.id = i.id
+""",
         "containment_pairs": f"""
 WITH {_SQL_SHINGLES},
 rare AS (

@@ -425,3 +425,55 @@ def windowed_distinct_b_sums(
     return per_trial.groupBy("hour_epoch").agg(
         F.sum(b).alias("b_sum")
     )
+
+
+def effective_diameter_df(
+    profile: DataFrame, trials: int, q: float = 0.9
+) -> DataFrame:
+    """One row (eff_diameter DOUBLE): the ANF effective diameter — the
+    (interpolated) hop at which the neighborhood function reaches ``q``
+    of its final value (Palmer/Gibbons/Faloutsos, KDD'02; the number
+    quoted by every web-graph measurement paper) — the all-DataFrame
+    twin of :func:`effective_diameter` (same interpolation contract:
+    hop-0 anchor (0, 0.0), target = q * N at the LAST hop, plateau
+    returns the hop itself), so the whole estimate composes into a
+    larger job with no driver collect. Input is an anf_hop_b_sums
+    profile; N_hat(h) = sum over vertices of 2^(b_sum/trials)/phi.
+
+    Plan: ONE hash agg to per-hop totals (rows = hops, an operator
+    constant), then a window lag over those few rows + a limit. Float
+    path (2^x is not bit-stable cross-engine), so pytest-gated against
+    the driver-side helper rather than driver-hashed — the ANF testing
+    convention (see harmonic_centrality)."""
+    from pyspark.sql import Window
+
+    est = F.pow(
+        F.lit(2.0), F.col("b_sum") / F.lit(float(trials))
+    ) / F.lit(FM_PHI)
+    nf = profile.groupBy("hop").agg(F.sum(est).alias("nf"))
+    final = nf.select(F.max_by("nf", "hop").alias("nf_final"))
+    w = Window.orderBy("hop")
+    # rows = hops (tiny); the global window over them is deliberate
+    stepped = (
+        nf.crossJoin(F.broadcast(final))
+        .withColumn("nf_prev", F.coalesce(F.lag("nf").over(w), F.lit(0.0)))
+        .withColumn(
+            "hop_prev", F.coalesce(F.lag("hop").over(w), F.lit(0))
+        )
+    )
+    bar = F.lit(float(q)) * F.col("nf_final")
+    hit = stepped.where(F.col("nf") >= bar).orderBy("hop").limit(1)
+    return hit.select(
+        F.round(
+            F.when(
+                F.col("nf") == F.col("nf_prev"),
+                F.col("hop").cast("double"),
+            ).otherwise(
+                F.col("hop_prev")
+                + (bar - F.col("nf_prev"))
+                / (F.col("nf") - F.col("nf_prev"))
+                * (F.col("hop") - F.col("hop_prev"))
+            ),
+            6,
+        ).alias("eff_diameter")
+    )

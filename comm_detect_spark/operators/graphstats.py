@@ -225,3 +225,28 @@ def degree_quantiles(
         ).alias("q"),
         F.round("deg_q", 6).alias("deg_q"),
     )
+
+def edge_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(src, dst, status): crawl-to-crawl edge delta — every directed
+    edge of old ∪ new classified 'added' (new only), 'removed' (old
+    only), or 'kept' (both). Weights ignored; parallel edges collapse
+    (distinct). The refresh-analysis primitive: feed 'added' to a
+    warm-start PageRank (pagerank.py ``init=``), audit 'removed' for
+    link-rot, alert on churn ratios.
+
+    100 TB shape: two left_anti + one semi join on (src, dst) — all
+    shuffle-on-key equi-joins with map-side dedup; when both crawls are
+    bucketed by src (sources/bucketed.py) every join is exchange-free.
+    Never materializes a cross product; output is |old ∪ new| rows."""
+    o = old.select("src", "dst").distinct()
+    n = new.select("src", "dst").distinct()
+    added = n.join(o, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("added").alias("status")
+    )
+    removed = o.join(n, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("removed").alias("status")
+    )
+    kept = n.join(o, ["src", "dst"], "semi").select(
+        "src", "dst", F.lit("kept").alias("status")
+    )
+    return added.unionAll(removed).unionAll(kept)

@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def calibrate(threads: int, units_per_thread: int = 2) -> float:
+def calibrate(threads: int, units_per_thread: int = 4) -> float:
     """Sustained parallel throughput (units/sec) of GIL-released numpy
     sort work — a proxy for shuffle-shaped compute — at `threads`."""
 
@@ -156,8 +156,19 @@ def main():
             "error": "no stable repetition: every rep's adjacent calibration "
                      f"probes disagreed >{PROBE_TOLERANCE}x (host window "
                      "shifting mid-rep); re-run in a quieter window",
-            "reps": [{k: r[k] for k in ("probes_low", "probes_high",
-                                        "probe_spread")} for r in reps_data],
+            "reps": [
+                {
+                    **{k: r[k] for k in ("probes_low", "probes_high",
+                                         "probe_spread")},
+                    # engine timings kept for diagnosis — NOT publishable
+                    # (their denominator is exactly what was unstable)
+                    "low_sec": [r["low"]["pagerank_sec"],
+                                r["low"]["lpa_sec"]],
+                    "high_sec": [r["high"]["pagerank_sec"],
+                                 r["high"]["lpa_sec"]],
+                }
+                for r in reps_data
+            ],
         }))
         sys.exit(1)
 

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from comm_detect_spark.operators.anf import (
+    FM_PHI,
     anf_b_sum,
     anf_estimates,
     anf_sketches,
@@ -312,3 +313,31 @@ def test_windowed_distinct_estimate_sane(spark):
     r = windowed_distinct_b_sums(ev, trials=8).collect()[0]
     est = 2 ** (r["b_sum"] / 8) / FM_PHI
     assert 40 / 3 <= est <= 40 * 3
+
+
+def test_effective_diameter_df_matches_driver_helper(spark, small_graph):
+    """The all-DataFrame effective diameter == the driver-side helper fed
+    the same neighborhood function (identical interpolation contract)."""
+    from comm_detect_spark.operators.anf import (
+        anf_hop_b_sums,
+        effective_diameter_df,
+    )
+
+    vids, edges, e, v = small_graph
+    trials = 16
+    profile = anf_hop_b_sums(spark, e, v, hops=4, trials=trials)
+    got = effective_diameter_df(profile, trials, q=0.9).collect()[0][
+        "eff_diameter"
+    ]
+    # driver-side replay from the SAME profile rows
+    rows = sorted(
+        (r["hop"], r["b_sum"]) for r in profile.collect()
+    )
+    import collections
+
+    nf_map = collections.defaultdict(float)
+    for hop, b_sum in rows:
+        nf_map[hop] += 2.0 ** (b_sum / trials) / FM_PHI
+    nf = sorted(nf_map.items())
+    want = effective_diameter(nf, q=0.9)
+    assert abs(got - round(want, 6)) < 1e-6
