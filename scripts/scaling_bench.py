@@ -251,12 +251,13 @@ been auto-rejected under this protocol). This run: {n_accepted} of
 **Hardware caveat (measured, not assumed):** this sandbox advertises 32
 vCPUs but sustained parallel throughput saturates at ~{hw_ratio:.2f}x of
 {args.low}-thread throughput when going to {args.high} threads (GIL-released
-numpy sort microbenchmark: {hw_low:.1f} -> {hw_high:.1f} units/s; pure-ALU
-work collapses beyond 4 threads). The host grants ~1.5-2.5 cores of real
-compute — no process here can show 4x thread scaling. We therefore report
-raw efficiency AND efficiency normalized by the hardware's own achievable
-ratio; the normalized number is what transfers to a real cluster, where
-N->4N executors multiply real cores.
+numpy sort microbenchmark: {hw_low:.1f} -> {hw_high:.1f} units/s). The
+grant is window-dependent (r5 windows measured 1.5-2.5x; this r6 window
+granted ~{hw_ratio:.1f}x) — no run here is entitled to assume 4x thread
+scaling. We therefore report raw efficiency AND efficiency normalized by
+the hardware's own achievable ratio measured ADJACENT to each leg; the
+normalized number is what transfers to a real cluster, where N->4N
+executors multiply real cores.
 
 ## Results
 
