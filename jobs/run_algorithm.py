@@ -32,7 +32,7 @@ def main():
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
                              "profile", "linkpred", "seeded_lpa", "sssp",
-                             "coloring", "katz", "betweenness"])
+                             "coloring", "katz", "betweenness", "coreness"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -180,6 +180,12 @@ def main():
         from comm_detect_spark.operators.kcore import k_core
 
         out = k_core(spark, edges, k=args.k)
+    elif args.algo == "coreness":
+        from comm_detect_spark.operators.kcore import core_decomposition
+
+        out = core_decomposition(
+            spark, edges, driver=driver, resume=args.resume
+        )
     elif args.algo == "clustering":
         from comm_detect_spark.operators.kcore import local_clustering
 

@@ -378,3 +378,45 @@ def test_materialize_every_rejects_store(spark, tmp_path):
     store = CheckpointStore(str(tmp_path), "x", algo="t")
     with pytest.raises(ValueError, match="materialize_every"):
         IterationDriver(store=store, materialize_every=3)
+
+
+# ---------------------------------------------------------------------------
+# distributed RMAT source
+# ---------------------------------------------------------------------------
+
+
+def test_rmat_distributed_deterministic_and_plausible(spark):
+    from comm_detect_spark.sources.rmat import rmat_edges_distributed
+
+    a = rmat_edges_distributed(spark, scale=10, edge_factor=4,
+                               num_partitions=4)
+    b = rmat_edges_distributed(spark, scale=10, edge_factor=4,
+                               num_partitions=4)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # pure function of the spec
+    # multiplicities preserved: weights sum to the drawn edge count
+    total = sum(w for _, _, w in ra)
+    assert total == (1 << 10) * 4
+    # power-law shape: the hottest vertex far exceeds the mean out-degree
+    from pyspark.sql import functions as F
+
+    deg = a.groupBy("src").agg(F.sum("weight").alias("d"))
+    mx = deg.agg(F.max("d")).collect()[0][0]
+    assert mx > 4 * 4  # mean out-degree is ~4
+
+
+def test_rmat_distributed_partition_count_changes_stream(spark):
+    """Different partition counts seed different PCG64 streams — the spec
+    pins (scale, ef, seed, num_partitions) as the determinism key, so
+    two partitionings are each internally deterministic but need not
+    match each other."""
+    from comm_detect_spark.sources.rmat import rmat_edges_distributed
+
+    a = rmat_edges_distributed(spark, scale=9, edge_factor=4,
+                               num_partitions=2)
+    a2 = rmat_edges_distributed(spark, scale=9, edge_factor=4,
+                                num_partitions=2)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, a2.collect())
+    )
