@@ -57,6 +57,12 @@ def run_at(cores: int, scale: int, ef: int, pr_iters: int, lpa_sweeps: int):
     from comm_detect_spark.plans.driver import IterationDriver
     from comm_detect_spark.session import get_spark
 
+    # spill-aware heap default (r6 finding, BENCH/BASELINE.md addendum):
+    # at scale>=20/local[8] an 8g JVM is GC-bound (PR leg 29.9s vs 18.5s
+    # at 24g — engine ratio 1.16x vs 2.75x); measure the engine, not the
+    # collector. Overridable via the env var as always.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
     from bench import build_rmat_edges
 
     spark = get_spark(
