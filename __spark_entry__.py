@@ -2125,6 +2125,108 @@ def _q_ivf_recall_at5(spark, sf_dir):
     )
 
 
+def _q_funnel_vcp(spark, sf_dir):
+    """Strict-ordered view -> click -> purchase funnel over the events
+    table — the canonical product-analytics query at event-log scale:
+    per user t1 = first view, t2 = first click AFTER t1, t3 = first
+    purchase AFTER t2; one row of per-stage user counts + rounded
+    conversion rates. Three user-keyed equi-joins + min aggs (each
+    map-side combined), no window over the full log, no Python."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n_click"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3)).select(
+            "n_view", "n_click", "n_purchase",
+            F.round(F.col("n_click") / F.col("n_view"), 6).alias("cr_click"),
+            F.round(
+                F.col("n_purchase") / F.col("n_click"), 6
+            ).alias("cr_purchase"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase,
+       ROUND((SELECT COUNT(*) FROM c) * 1.0 / (SELECT COUNT(*) FROM v), 6)
+         AS cr_click,
+       ROUND((SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM c), 6)
+         AS cr_purchase
+"""
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table — (cohort
+    week, week offset) -> distinct active users, the other canonical
+    event-log rollup. cohort = ISO week of the user's first event;
+    offset = whole weeks between cohort week and activity week. Two hash
+    aggs + one user-keyed join; epochs as BIGINT for hash stability."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.unix_timestamp("cw").cast("bigint").alias("cohort_epoch"),
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT CAST(epoch(a.cw) AS BIGINT) AS cohort_epoch,
+       CAST(date_diff('day', a.cw, b.aw) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM first a JOIN active b USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-query registry.
 
@@ -2173,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_delta": _q_graph_delta,
         "shard_stats": _q_shard_stats,
         "ivf_recall_at5": _q_ivf_recall_at5,
+        "funnel_vcp": _q_funnel_vcp,
+        "retention_cohorts": _q_retention_cohorts,
         # north-rule core — stays in the graded window every round
         "graph_volumes": _q_graph_volumes,
         "weight_net": _q_weight_net,
@@ -2187,13 +2291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_mod10": _q_coarsen_mod10,
         "modularity_mod10": _q_modularity_mod10,
         "dq_argmax_singleton": _q_dq_argmax,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_lsh_pairs": _q_lsh_pairs,
         "corpus_dedup": _q_corpus_dedup,
         "pack_shards": _q_pack_shards,
         "segment_dedup": _q_segment_dedup,
         # -- past the graded window (driver-green in r01..r05; pytest keeps
         #    grading them side-by-side every session) ----------------------
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_lsh_pairs,
         "decontaminate": _q_decontaminate,
         "hash_split": _q_hash_split,
         "quality_filter": _q_quality_filter,
@@ -3259,6 +3363,8 @@ SELECT ROUND(COUNT(*) / 5.0, 6) AS recall_at5
 FROM ({_EMBEDDING_TOP5_ORACLE}) b
 JOIN ({_ivf_top5_oracle_sql(_oracle_sf_dir())}) i ON b.id = i.id
 """,
+        "funnel_vcp": _FUNNEL_ORACLE,
+        "retention_cohorts": _RETENTION_ORACLE,
         "containment_pairs": f"""
 WITH {_SQL_SHINGLES},
 rare AS (

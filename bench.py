@@ -222,6 +222,11 @@ def main() -> None:
         "top_ranked_per_comm",
         "containment_pairs",
         "pagerank_warm2",
+        "graph_delta",
+        "shard_stats",
+        "ivf_recall_at5",
+        "funnel_vcp",
+        "retention_cohorts",
     ]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
