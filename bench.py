@@ -228,6 +228,31 @@ def main() -> None:
         "funnel_vcp",
         "retention_cohorts",
     ]
+    # Tiering (VERDICT r5 #8): the full sweep is 76+ queries x reps (~17 min
+    # at sf0.1 on this host) and grows with coverage. The per-round default
+    # is the CORE tier — the north-rule throughput drivers, one regression
+    # tripwire per operator family, and every query added this round (new
+    # queries earn one round of bench history before rotating out).
+    # SPARK_GRAFT_BENCH_TIER=full reproduces the complete sweep; per-query
+    # cross-round comparisons use the committed detail sidecars either way.
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "core")
+    if tier != "full":
+        core = {
+            # graph kernels (north-rule core)
+            "graph_volumes", "lpa_round1", "pagerank_iter1", "cc_round1",
+            "cc_full", "triangle_total",
+            # dedup / corpus hot paths
+            "exact_dedup", "corpus_dedup", "segment_dedup", "quality_filter",
+            "hash_split", "pack_shards",
+            # ANN, events, sketches, walks, centrality — one tripwire each
+            "embedding_ivf_top5", "events_hourly", "cms_sketch_events",
+            "events_distinct_fm", "random_walks_l3", "betweenness_k4",
+            "sssp_r4",
+            # round-6 additions: first round of history
+            "graph_delta", "shard_stats", "ivf_recall_at5", "funnel_vcp",
+            "retention_cohorts",
+        }
+        bench_queries = [q for q in bench_queries if q in core]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
     # oracle twin) AND the SCALE mode the cluster runs (multi-block cogroup
     # kernel + frontier + freeze machine) so the scale path has a timed
@@ -282,6 +307,7 @@ def main() -> None:
     # outgrowing the driver's stdout tail capture (VERDICT r4 #2).
     detail = {
         "protocol": "interleaved_medians_v3",
+        "tier": tier,
         "reps": reps,
         "runs": runs,
         "median": {k: round(v, 3) for k, v in timings.items()},
@@ -334,6 +360,7 @@ def main() -> None:
             k: round(timings[k], 3) for k in headline_queries if k in timings
         },
         "reps": reps,
+        "tier": tier,
         "sf": sf,
         "total_sec": total,
         "hw_anchor_median": round(statistics.median(anchors), 2),

@@ -86,6 +86,61 @@ def generate_pages(
     return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
 
 
+def generate_pages_distributed(
+    spark: SparkSession,
+    n_pages: int,
+    edges: DataFrame,
+    n_sites: int = 10,
+) -> DataFrame:
+    """Executor-side twin of :func:`generate_pages` — same deterministic
+    (url, warc_ts, html, text, lang) rows for the same edge set, but built
+    as ONE groupBy (out-link adjacency, map-side combined) + a left join
+    onto ``spark.range(n_pages)`` + one mapInPandas render, so a 10^9-page
+    synthetic corpus never materializes on the driver (the driver twin
+    builds every row in a Python list — fine for oracle fixtures, a
+    task-serialization wall at scale).
+
+    ``edges``: (src, dst) planted links, vids in [0, n_pages). Out-links
+    are rendered in sorted-dst order; feed :func:`generate_pages` edges
+    pre-sorted by (src, dst) and the two generators are byte-identical
+    per url (pinned in tests/test_sources.py).
+    """
+    adj = edges.groupBy(F.col("src").cast("bigint").alias("src")).agg(
+        F.sort_array(F.collect_list(F.col("dst").cast("bigint"))).alias(
+            "dsts"
+        )
+    )
+    full = (
+        spark.range(n_pages)
+        .select(F.col("id").cast("bigint").alias("src"))
+        .join(adj, "src", "left")
+    )
+    ns = n_sites
+
+    def render(batches):
+        base_ts = pd.Timestamp("2025-01-01T00:00:00Z").tz_convert(None)
+        for pdf in batches:
+            rows = []
+            for i, dsts in zip(pdf["src"], pdf["dsts"]):
+                i = int(i)
+                out = [] if dsts is None else [int(d) for d in dsts]
+                html = _page_html(i, out, ns)
+                rows.append(
+                    (
+                        page_url(i, ns),
+                        base_ts + pd.Timedelta(seconds=i),
+                        html,
+                        extract_text_py(html),
+                        _LANGS[i % len(_LANGS)],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return full.mapInPandas(render, PAGES_SCHEMA)
+
+
 def extract_edges(pages: DataFrame) -> DataFrame:
     """(src_url, dst_url) from the html column — Arrow-batched parse,
     explode, dedupe. Self-links dropped."""
@@ -100,15 +155,22 @@ def extract_edges(pages: DataFrame) -> DataFrame:
 
 
 def pages_to_graph(
-    pages: DataFrame, symmetric: bool = False
+    pages: DataFrame,
+    symmetric: bool = False,
+    url_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full extraction: returns (vertices(url, vid), edges(src, dst, weight)).
 
     Vertices cover every url seen as a page OR link target (deterministic
     dense ids via sorted row_number — never monotonically_increasing_id).
     ``symmetric=True`` materializes both directions (undirected algorithms;
-    reference convention graph.cc:31-51)."""
-    raw = extract_edges(pages)
+    reference convention graph.cc:31-51).
+
+    ``url_edges``: a pre-extracted (src_url, dst_url) frame — pass the
+    staged output of :func:`extract_edges` when several consumers (vid
+    graph, host rollup) share one corpus so the html parse runs ONCE;
+    default re-extracts from ``pages``."""
+    raw = extract_edges(pages) if url_edges is None else url_edges
     urls = (
         pages.select(F.col("url"))
         .union(raw.select(F.col("dst_url").alias("url")))

@@ -53,6 +53,8 @@ def test_bench_stdout_last_line_is_compact_contract_json(tmp_path):
     assert parsed["value"] > 0
     assert parsed["reps"] == 1
     assert parsed["queries"], "empty headline queries map"
+    # tiering (VERDICT r5 #8): default per-round run is the core tier
+    assert parsed["tier"] == "core"
     # detail sidecar: full attribution moved OUT of stdout, not dropped
     with open(detail_path) as fh:
         detail = json.load(fh)
