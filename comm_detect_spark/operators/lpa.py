@@ -108,11 +108,23 @@ def lpa_sync(
             verts.withColumn("label", F.col("vid")).repartition(p, "vid")
         )
         updated, updated_prev, it = n, 0, 0
+    # eps < 0 => threshold < 0 and the stopping rule can NEVER fire
+    # (updated >= 0 > threshold, |diff| >= 0 > threshold): the run is
+    # governed purely by max_iter, so the per-sweep changed-label count —
+    # a second vertex-sized join + count job per sweep whose only purpose
+    # is feeding that rule — is pure overhead. Skip it and drive through
+    # step() (whose cache-fill action is a plain count of the new state).
+    # Resumable runs keep the counting path: the store's per-iteration
+    # `updated` metric is what try_resume reseeds the counters from.
+    fixed_rounds = threshold < 0 and max_iter is not None and drv.store is None
     while (updated > threshold) and (abs(updated_prev - updated) > threshold):
         if max_iter is not None and it >= max_iter:
             break
         it += 1
         updated_prev = updated
+        if fixed_rounds:
+            state = drv.step(lpa_step(e, state, num_partitions=p), it)
+            continue
         new_state = drv.prepare(lpa_step(e, state, num_partitions=p), it)
         # one action: fills the new state's cache AND counts changed labels
         updated = (
