@@ -37,12 +37,17 @@ class IterationDriver:
         # cost (job launch + Catalyst analysis, measured ~1.4 s/iter on
         # this host, scaling_bench r6) is paid once per m iterations.
         # Result is bit-identical to m single steps (pytest-pinned).
-        # MEASURED (scale-19 RMAT, 8 cores): LPA sync m=3 is ~12% faster
-        # (its state is referenced once per iteration, so the chain is
-        # linear); pagerank m=3 is ~8% SLOWER (ranks feed the dangling
-        # mass, the contribs join AND the verts re-join — 3-fold fan-out
-        # per chained iteration re-evaluates the unmaterialized chain).
-        # Default stays 1; opt in only for linear-state recurrences.
+        # MEASURED (scale-18 RMAT, 8 cores, BENCH/lpa_fixed_rounds_r6.json):
+        # LPA sync m=3 is 2.2x SLOWER than per-sweep materialization —
+        # lpa_step references its input state TWICE (edge join + keep-label
+        # join), so the unmaterialized chain re-evaluates geometrically;
+        # pagerank m=3 measured ~8% slower for the same reason (3-fold
+        # fan-out). An earlier note here claimed LPA m=3 was 12% faster;
+        # that was recorded when lpa_sync's counting loop (prepare/install)
+        # silently ignored materialize_every, so the chain never engaged —
+        # retracted once the r6 fixed-rounds step() path made it real.
+        # Default stays 1; only a recurrence that reads its state ONCE per
+        # step can win from chaining, and no current operator qualifies.
         # Incompatible with a CheckpointStore (resumable runs snapshot
         # per iteration) and with callers that run their own changed-count
         # action per iteration (prepare/install — they need per-iter
