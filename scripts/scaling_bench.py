@@ -231,6 +231,18 @@ def main():
 
     n_accepted, n_reps = len(accepted), len(reps_data)
     os.makedirs("BENCH", exist_ok=True)
+    # the auto-written report stops at the marker below; hand-written
+    # addenda (campaign tables, bottom lines) after it are preserved
+    # across re-runs instead of being clobbered by the rewrite
+    addendum = ""
+    marker = "## r6 addendum"
+    try:
+        with open("BENCH/BASELINE.md") as fh:
+            prev = fh.read()
+        if marker in prev:
+            addendum = "\n" + prev[prev.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
             f"""# BENCH — throughput & scaling evidence
@@ -301,6 +313,8 @@ Cross-round protocol map (which BENCH_r* numbers are comparable to
 which): BENCH/PROTOCOL.md.
 """
         )
+        if addendum:
+            fh.write(addendum)
 
 
 if __name__ == "__main__":
