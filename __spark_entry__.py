@@ -206,7 +206,7 @@ def _q_pagerank_iter1(spark, sf_dir):
 def _q_cc_round1(spark, sf_dir):
     sym = _g_sym(spark, sf_dir)
     verts = _g_verts(spark, sf_dir)
-    return connected_components(spark, sym, vertices=verts, max_iter=1)
+    return connected_components(spark, sym, vertices=verts, rounds=1)
 
 
 def _q_triangle_total(spark, sf_dir):

@@ -31,14 +31,23 @@ def connected_components(
     vertices: DataFrame | None = None,
     resume: bool = False,
     num_partitions: int | None = None,
+    rounds: int | None = None,
 ) -> DataFrame:
     """Returns (vid BIGINT, comp BIGINT), comp = min vid in component.
 
     Same co-partitioning contract as lpa_sync: edges cached hash(src, P),
     iterated comp state on hash(vid, P) — the per-round join is
     exchange-free, only the dst min-aggregation (map-side combined)
-    shuffles edge-sized."""
+    shuffles edge-sized.
+
+    ``rounds=k`` runs exactly k rounds (early stop on convergence, never
+    raises — the oracle-twin mode, sssp.py convention); default fixpoint
+    mode raises RuntimeError if labels are still moving after
+    ``max_iter`` rounds rather than returning a silently-partial
+    labeling."""
     drv = driver or IterationDriver()
+    if rounds is not None:
+        max_iter = rounds
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
         verts = vertices.select("vid").distinct()
@@ -109,6 +118,18 @@ def connected_components(
         comp = drv.install(new_comp, it, changed=changed)
         if changed == 0:
             break
+    else:
+        # fail-loud contract (scc/sssp/kcore discipline): with pointer
+        # jumping the label frontier at least doubles per round, so 50
+        # rounds covers any graph of diameter < 2^50 — exhausting the
+        # budget with labels still moving means something is wrong, and a
+        # silently-partial labeling is indistinguishable from a correct
+        # one. Fixed-rounds mode (rounds=k) is exempt by request.
+        if rounds is None and it > start_it and changed > 0:
+            raise RuntimeError(
+                f"connected_components: labels still changing ({changed} "
+                f"vertices) after max_iter={max_iter} rounds; raise max_iter"
+            )
     out = drv.finish(it)
     e.unpersist()
     return out

@@ -141,4 +141,8 @@ def maximal_independent_set(
             )
         )
         cur = drv.step(nxt, i)
+    # cur is materialized (drv.step counts each round), so the adjacency
+    # cache has served its purpose — release it rather than leaking
+    # executor memory across repeated calls (scc/kcore discipline)
+    adj.unpersist()
     return cur.select("vid", "state")

@@ -37,9 +37,10 @@ def khop_subgraph(
         F.col("weight").cast("long").alias("weight"),
     )
     hop_edges = e.select("src", "dst").distinct().persist()
-    reach = spark.createDataFrame(
+    seed_verts = spark.createDataFrame(
         [(int(s),) for s in sorted(set(seeds))], "vid long"
     ).persist()
+    reach = seed_verts
     frontier = reach
     for _ in range(k):
         nxt = (
@@ -61,4 +62,8 @@ def khop_subgraph(
         .select("src", "dst", "weight")
     )
     hop_edges.unpersist()
+    # safe even when reach still aliases the seed frame (k=0 or an empty
+    # first frontier): the seed list is a driver-local collection, so an
+    # uncached re-read costs nothing
+    seed_verts.unpersist()
     return out

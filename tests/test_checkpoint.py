@@ -402,8 +402,10 @@ class TestOperatorResumeFlag:
         n = jazz[0]
         full = to_vec(connected_components(spark, jazz_df, n), n)
         store = CheckpointStore(str(tmp_path), "ccf", algo="cc")
+        # rounds=1 (not max_iter): a simulated kill is fixed-rounds by
+        # request — fixpoint mode now fails loud on budget exhaustion
         connected_components(
-            spark, jazz_df, n, max_iter=1,
+            spark, jazz_df, n, rounds=1,
             driver=IterationDriver(store=store, checkpoint_every=1))
         store2 = CheckpointStore(str(tmp_path), "ccf", algo="cc")
         resumed = to_vec(

@@ -102,3 +102,28 @@ class TestMIS:
         for v, s in got.items():
             if s == 0:
                 assert nbrs.get(v, set()) & ins
+
+
+def test_mis_releases_adjacency_cache(spark, monkeypatch):
+    """the persisted adjacency must be unpersisted at return (walks
+    cache-release discipline). Tracks persist() calls directly —
+    getPersistentRDDs also counts lingering localCheckpoint RDDs, which
+    are ContextCleaner-owned and GC-timing dependent."""
+    import pyspark.sql.dataframe as D
+
+    tracked = []
+    orig = D.DataFrame.persist
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        tracked.append(out)
+        return out
+
+    monkeypatch.setattr(D.DataFrame, "persist", spy)
+    pairs = _rand_graph(20, 2)
+    out = _spark_mis(spark, pairs, 20, rounds=6)
+    assert out
+    still = [df for df in tracked
+             if df.storageLevel.useMemory or df.storageLevel.useDisk]
+    # only the returned final state may stay cached
+    assert len(still) <= 1, f"{len(still)} frames still persisted"

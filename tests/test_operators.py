@@ -96,6 +96,27 @@ class TestConnectedComponents:
         assert out.where(F.col("comp") != 0).count() == 0
         assert out.count() == n
 
+    def test_fixpoint_mode_fails_loud_on_budget_exhaustion(self, spark):
+        """A path graph needs ~log2(diameter) rounds; max_iter=1 cannot
+        converge and must raise (scc/sssp/kcore contract) instead of
+        returning a silently-partial labeling. rounds=1 is the explicit
+        fixed-rounds request and must NOT raise."""
+        import pytest
+
+        n = 8
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        pairs += [(b, a) for a, b in pairs]
+        e = edges_from_numpy(
+            spark,
+            n,
+            np.array([a for a, _ in pairs]),
+            np.array([b for _, b in pairs]),
+            np.ones(len(pairs)),
+        )
+        with pytest.raises(RuntimeError, match="still changing"):
+            connected_components(spark, e, n, max_iter=1)
+        assert connected_components(spark, e, n, rounds=1).count() == n
+
 
 class TestLpaSync:
     def test_jazz_exact(self, spark, jazz, jazz_df):

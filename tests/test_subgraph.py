@@ -42,3 +42,25 @@ class TestKhopSubgraph:
         }
         # 5 reaches everything except nothing; 5->0 in closure
         assert got == {(s, d) for s, d, _ in EDGES}
+
+
+def test_khop_releases_its_caches(spark, monkeypatch):
+    """hop_edges + the seed frame must be unpersisted once the induced
+    edge set is materialized. Tracks persist() calls directly (see
+    test_mis for why getPersistentRDDs is the wrong probe)."""
+    import pyspark.sql.dataframe as D
+
+    tracked = []
+    orig = D.DataFrame.persist
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        tracked.append(out)
+        return out
+
+    monkeypatch.setattr(D.DataFrame, "persist", spy)
+    out = khop_subgraph(spark, _e(spark), [0, 1], k=2)
+    assert out.count() >= 0
+    still = [df for df in tracked
+             if df.storageLevel.useMemory or df.storageLevel.useDisk]
+    assert not still, f"{len(still)} frames still persisted"
