@@ -109,7 +109,10 @@ def test_mis_releases_adjacency_cache(spark, monkeypatch):
     cache-release discipline). Tracks persist() calls directly —
     getPersistentRDDs also counts lingering localCheckpoint RDDs, which
     are ContextCleaner-owned and GC-timing dependent."""
-    import pyspark.sql.dataframe as D
+    # patch the CONCRETE class: in PySpark 4 the classic DataFrame
+    # overrides persist, so patching the pyspark.sql.dataframe base
+    # intercepts nothing (a vacuous spy passes any leak)
+    import pyspark.sql.classic.dataframe as D
 
     tracked = []
     orig = D.DataFrame.persist
@@ -123,6 +126,7 @@ def test_mis_releases_adjacency_cache(spark, monkeypatch):
     pairs = _rand_graph(20, 2)
     out = _spark_mis(spark, pairs, 20, rounds=6)
     assert out
+    assert tracked, "spy never fired — wrong class patched"
     still = [df for df in tracked
              if df.storageLevel.useMemory or df.storageLevel.useDisk]
     # only the returned final state may stay cached

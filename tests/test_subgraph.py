@@ -48,7 +48,10 @@ def test_khop_releases_its_caches(spark, monkeypatch):
     """hop_edges + the seed frame must be unpersisted once the induced
     edge set is materialized. Tracks persist() calls directly (see
     test_mis for why getPersistentRDDs is the wrong probe)."""
-    import pyspark.sql.dataframe as D
+    # patch the CONCRETE class: in PySpark 4 the classic DataFrame
+    # overrides persist, so patching the pyspark.sql.dataframe base
+    # intercepts nothing (a vacuous spy passes any leak)
+    import pyspark.sql.classic.dataframe as D
 
     tracked = []
     orig = D.DataFrame.persist
@@ -61,6 +64,7 @@ def test_khop_releases_its_caches(spark, monkeypatch):
     monkeypatch.setattr(D.DataFrame, "persist", spy)
     out = khop_subgraph(spark, _e(spark), [0, 1], k=2)
     assert out.count() >= 0
+    assert tracked, "spy never fired — wrong class patched"
     still = [df for df in tracked
              if df.storageLevel.useMemory or df.storageLevel.useDisk]
     assert not still, f"{len(still)} frames still persisted"
