@@ -99,6 +99,11 @@ def k_core(
     out = all_verts.join(
         survivors.withColumn("_in", F.lit(True)), "vid", "left"
     ).select("vid", F.coalesce(F.col("_in"), F.lit(False)).alias("in_core"))
+    # materialize before releasing the two caches the plan reads (the
+    # walks/scc release discipline): vertex-sized, one extra action
+    out = out.localCheckpoint(eager=True)
+    all_verts.unpersist()
+    cur.unpersist()
     return out
 
 
