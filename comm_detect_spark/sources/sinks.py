@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 def write_labels_text(state: DataFrame, path: str, value_col: str = "label") -> None:
     """Label-per-line text in vid order (single file — a parity/debug
-    format, not a scale format)."""
-    rows = state.select("vid", value_col).orderBy("vid").collect()
+    format, not a scale format). Streams sorted partitions through the
+    driver one at a time (toLocalIterator) instead of collect()ing the
+    whole vertex state, so driver memory stays bounded by one partition
+    even when the debug format is (mis)used on a large graph."""
     with open(path, "w") as fh:
-        for r in rows:
+        for r in state.select("vid", value_col).orderBy("vid").toLocalIterator():
             fh.write(f"{r[value_col]}\n")
 
 

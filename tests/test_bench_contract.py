@@ -28,6 +28,8 @@ def test_bench_stdout_last_line_is_compact_contract_json(tmp_path):
         SPARK_GRAFT_BENCH_REPS="1",
         SPARK_GRAFT_RMAT_SCALE="10",
         SPARK_GRAFT_RMAT_EF="4",
+        SPARK_GRAFT_RMAT_SCALE_HI="11",
+        SPARK_GRAFT_RMAT_EF_HI="4",
         SPARK_GRAFT_PR_ITERS="2",
         SPARK_GRAFT_LPA_SWEEPS="1",
         SPARK_GRAFT_BENCH_DETAIL=detail_path,
@@ -66,3 +68,13 @@ def test_bench_stdout_last_line_is_compact_contract_json(tmp_path):
     for q, med in parsed["queries"].items():
         assert detail["median"][q] == med
     assert set(detail["min"]) == set(detail["median"])
+    # r6 headline-scale change (PROTOCOL.md): the judged `value` is the
+    # scale-hi measurement; the scale-18 continuity pair stays in the
+    # sidecar alongside it
+    assert "pagerank_rmat_hi" in parsed["queries"]
+    assert "lpa_sync_rmat_hi" in parsed["queries"]
+    hi = detail["throughput"]["rmat_hi"]
+    assert hi["scale"] == 11
+    assert parsed["value"] == round((hi["pr_eps"] + hi["lpa_eps"]) / 2.0, 1)
+    for cont_key in ("pagerank_eps_s18", "lpa_eps_s18"):
+        assert detail["throughput"][cont_key] > 0
