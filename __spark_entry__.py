@@ -2227,6 +2227,92 @@ GROUP BY 1, 2
 """
 
 
+def _q_transitivity(spark, sf_dir):
+    """Global clustering coefficient 3T/W on the triangle graph
+    (graphstats.py:global_transitivity — degree-ordered triangle count +
+    one wedge agg, two broadcast scalar frames)."""
+    from comm_detect_spark.operators.graphstats import global_transitivity
+
+    return global_transitivity(_t_edges(spark, sf_dir))
+
+
+def _q_avg_neighbor_degree(spark, sf_dir):
+    """Pastor-Satorras knn(k) degree-correlation profile
+    (graphstats.py:avg_neighbor_degree — one edge join + two degree-keyed
+    aggs; output rows = distinct degrees)."""
+    from comm_detect_spark.operators.graphstats import avg_neighbor_degree
+
+    return avg_neighbor_degree(_g_sym(spark, sf_dir))
+
+
+def _q_pagerank_trace(spark, sf_dir):
+    """Per-iteration L1 rank movement (pagerank.py:pagerank_trace —
+    pagerank's exact recurrence plus one vertex join per iteration; the
+    convergence-budget diagnostic)."""
+    from comm_detect_spark.operators.pagerank import pagerank_trace
+
+    edges = _g_directed(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionAll(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return pagerank_trace(spark, edges, verts, iterations=4)
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    """Graded n-gram-overlap decontamination (dedup.py:ngram_contamination
+    — broadcast benchmark shingles, one-pass conditional-count agg):
+    corpus = doc_id % 50 != 0 scored against benchmark = doc_id % 50 == 0."""
+    from comm_detect_spark.operators.dedup import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
+def _q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) sub-document fingerprints
+    (dedup.py:winnow_fingerprints — positional shingle hashes, sliding
+    window-min inside each doc, distinct selected hashes)."""
+    from comm_detect_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+def _q_bigram_pmi_top20(spark, sf_dir):
+    """Top-20 collocations by PMI (ranking.py:bigram_pmi — bigram count +
+    margin re-aggs + broadcast N; min_count=5 floors the low-frequency
+    blowup). Deterministic order: (pmi DESC, bigram ASC) on round-6 pmi."""
+    from comm_detect_spark.operators.ranking import bigram_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        bigram_pmi(docs, min_count=5)
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+def _pagerank_trace_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled replay of pagerank_trace: the _pagerank_oracle_sql CTE
+    chain (same recurrence) with one final UNION ALL of per-iteration L1
+    deltas — full-precision intermediates, round 9 on each scalar."""
+    chain = _pagerank_oracle_sql(iters=iters, damping=damping)
+    ctes = chain[: chain.rindex("\nSELECT ")]
+    legs = [
+        f"""SELECT {i} AS iter,
+       ROUND(SUM(ABS(a.rank - b.rank)), 9) AS l1_delta
+FROM r{i} a JOIN r{i - 1} b USING (vid)"""
+        for i in range(1, iters + 1)
+    ]
+    return ctes + "\n" + "\nUNION ALL\n".join(legs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-query registry.
 
@@ -2241,6 +2327,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest, tests/test_entry.py)."""
     return {
         # -- graded window (slots 1-50) -----------------------------------
+        # late-r6 additions (never graded): first so CORRECTNESS_r06 sees
+        # them on their debut round (VERDICT r5 next #9)
+        "transitivity_global": _q_transitivity,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "pagerank_delta_trace": _q_pagerank_trace,
+        "ngram_contamination": _q_ngram_contamination,
+        "winnow_fp": _q_winnow_fp,
+        "bigram_pmi_top20": _q_bigram_pmi_top20,
         # r5 additions the driver has never graded (VERDICT r5 missing #1)
         "sssp_r4": _q_sssp_r4,
         "host_profile": _q_host_profile,
@@ -2621,7 +2715,125 @@ def oracle_sql() -> dict[str, str]:
     # the 60-bit prefix is only for signature arithmetic needing a BIGINT
     md5_norm = f"md5({_SQL_NORM_TEXT})"
     h60_shingle = _H60_SQL.format(x="sh.shingle")
+    h60_winnow = _H60_SQL.format(x="shingle")
     out = {
+        "transitivity_global": f"""
+WITH {_SQL_T},
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM t_sym WHERE src <> dst
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM simple
+  UNION ALL SELECT b AS src, a AS dst FROM simple
+),
+w AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS wedges
+  FROM (SELECT COUNT(*) AS deg FROM sym GROUP BY src)
+),
+t AS (
+  SELECT COUNT(*) AS triangles
+  FROM simple e1
+  JOIN simple e2 ON e1.b = e2.a
+  JOIN simple e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT wedges, triangles,
+       ROUND(3.0 * triangles / wedges, 6) AS transitivity
+FROM w CROSS JOIN t
+""",
+        "avg_neighbor_degree": f"""
+WITH {_SQL_G},
+d AS (SELECT DISTINCT src, dst FROM g_sym WHERE src <> dst),
+simple AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM simple
+  UNION ALL SELECT b AS src, a AS dst FROM simple
+),
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+pv AS (
+  SELECT s.src AS vid, AVG(CAST(dv.deg AS DOUBLE)) AS mean_nbr_deg
+  FROM sym s JOIN deg dv ON s.dst = dv.vid
+  GROUP BY s.src
+)
+SELECT d2.deg, COUNT(*) AS n_vertices, ROUND(AVG(pv.mean_nbr_deg), 6) AS knn
+FROM pv JOIN deg d2 ON pv.vid = d2.vid
+GROUP BY d2.deg
+""",
+        "pagerank_delta_trace": _pagerank_trace_oracle_sql(iters=4),
+        "ngram_contamination": f"""
+WITH {_SQL_SHINGLES},
+corpus AS (SELECT id, shingle FROM sh WHERE id % 50 <> 0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
+scored AS (
+  SELECT c.id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(s.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(s.n_hit, 0) * 1.0
+             / NULLIF(COALESCE(s.n_shingles, 0), 0), 6) AS contamination
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+WHERE d.doc_id % 50 <> 0
+""",
+        "winnow_fp": f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_SQL_NORM_TEXT} AS t FROM documents
+),
+words AS (SELECT id, string_split(t, ' ') AS ws FROM norm),
+pos_sh AS (
+  SELECT id, CAST(u.i AS INT) AS pos,
+         array_to_string(list_slice(ws, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ') AS shingle
+  FROM words, UNNEST(range(GREATEST(len(ws) - 2, 1))) AS u(i)
+  WHERE length(array_to_string(list_slice(ws, CAST(u.i AS INT) + 1, CAST(u.i AS INT) + 3), ' ')) > 0
+),
+h AS (SELECT id, pos, {h60_winnow} AS h FROM pos_sh),
+m AS (
+  SELECT id,
+         MIN(h) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+         ) AS fp
+  FROM h
+)
+SELECT DISTINCT id, fp FROM m
+""",
+        "bigram_pmi_top20": """
+WITH words AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> ''
+         ) AS ws
+  FROM documents
+),
+bg AS (
+  SELECT ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT) + 1] AS bigram
+  FROM words, UNNEST(range(1, GREATEST(len(ws), 1))) AS u(i)
+  WHERE len(ws) >= 2
+),
+bc AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+l AS (
+  SELECT string_split(bigram, ' ')[1] AS wa, SUM(n) AS n_a
+  FROM bc GROUP BY 1
+),
+r AS (
+  SELECT string_split(bigram, ' ')[2] AS wb, SUM(n) AS n_b
+  FROM bc GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n_total FROM bc)
+SELECT bc.bigram, CAST(bc.n AS BIGINT) AS n,
+       ROUND(LN((bc.n * 1.0 * tot.n_total) / (l.n_a * 1.0 * r.n_b)), 6) AS pmi
+FROM bc
+JOIN l ON string_split(bc.bigram, ' ')[1] = l.wa
+JOIN r ON string_split(bc.bigram, ' ')[2] = r.wb
+CROSS JOIN tot
+WHERE bc.n >= 5
+ORDER BY pmi DESC, bc.bigram ASC
+LIMIT 20
+""",
         "graph_volumes": f"""
 WITH {_SQL_G}
 SELECT src AS vid,

@@ -462,3 +462,110 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(id, n_shingles, n_hit, contamination): graded decontamination —
+    for each training document, the FRACTION of its distinct n-word
+    shingles that appear anywhere in the benchmark set (contamination =
+    n_hit / n_shingles, round 6). Where decontaminate() answers "did any
+    n-gram leak?", this scores partial overlap (the GPT-3 appendix-C
+    style n-gram-overlap audit): a 0.9 doc is a near-copy of an eval
+    item, a 0.02 doc shares a stock phrase — different removal policies.
+
+    100 TB shape: same join geometry as decontaminate (benchmark shingles
+    BROADCAST, corpus side a map-side hit-flag over exploded distinct
+    shingles); the per-id agg counts total and hit shingles in ONE pass
+    (conditional sum, no second join). Output is one row per corpus doc.
+    Docs whose normalized text is empty have n_shingles=0 and NULL
+    contamination (try_divide)."""
+    doc_sh = shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        shingles(
+            benchmark.select(
+                F.lit(0).alias("_bid"), F.col(bench_text_col).alias("text")
+            ),
+            "_bid",
+            "text",
+            n,
+        )
+        .select("shingle", F.lit(1).alias("_hit"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    scored = (
+        doc_sh.join(bench_sh, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_hit", F.lit(0)),
+                    F.coalesce("n_shingles", F.lit(0)),
+                ),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp): winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every positional k-word
+    shingle, slide a w-shingle window, keep the MINIMUM hash of each
+    window, emit the distinct selected hashes per document. Guarantees
+    any shared run of >= w+k-1 words between two documents yields at
+    least one shared fingerprint, while storing ~2/(w+1) of the shingle
+    hashes — the sub-document copy-detection index (plagiarism / quote /
+    mirror detection) that complements whole-doc minhash.
+
+    The 60-bit hash is signature arithmetic (see _h60) — downstream
+    keep/delete decisions must re-verify on content, same contract as
+    minhash bands.
+
+    100 TB shape: positional shingling is a per-row array transform
+    (no explode-then-window repartition: the window partitions by id,
+    which the explode already co-locates — ONE shuffle on id); the
+    sliding MIN is a bounded-frame window aggregate inside each
+    document, then a distinct on (id, fp) whose output is the ~2/(w+1)
+    sample. Nothing crosses document boundaries."""
+    from pyspark.sql import Window
+
+    pos_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingle_array(F.col(text_col), k)).alias("pos", "shingle"),
+    ).select("id", "pos", _h60(F.col("shingle")).alias("h"))
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        pos_sh.select("id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )

@@ -250,3 +250,90 @@ def edge_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "src", "dst", F.lit("kept").alias("status")
     )
     return added.unionAll(removed).unionAll(kept)
+
+
+def global_transitivity(edges: DataFrame) -> DataFrame:
+    """One row: (wedges, triangles, transitivity) where transitivity is
+    the global clustering coefficient 3*T / W (Newman) over the
+    symmetrized simple graph (self-loops dropped, parallel edges
+    collapsed). Complements clustering_coeff (the per-vertex local
+    coefficient): a corpus-level web-graph has low transitivity but a
+    heavy local-coefficient tail; the single scalar is the first-look
+    triangle-density diagnostic.
+
+    transitivity = 3*T / W, W = sum_v deg(v)*(deg(v)-1)/2; NULL when the
+    graph has no wedge (try_divide, DuckDB division-by-zero semantics).
+
+    100 TB shape: the triangle count is the same degree-ordered
+    enumeration as triangles_df (each triangle found exactly once from
+    its lowest-degree corner — the orientation that keeps the join fan-out
+    bounded by arboricity, not by hub degree); the wedge count is one
+    map-side-combined degree agg. Two broadcast single-row frames
+    assemble the scalar — no driver collect in the plan."""
+    from .triangles import triangles_df
+
+    d = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    simple = d.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = simple.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(simple.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    wedges = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+            .cast("bigint")
+            .alias("wedges")
+        )
+    )
+    tris = triangles_df(edges).agg(F.count(F.lit(1)).alias("triangles"))
+    return wedges.crossJoin(F.broadcast(tris)).select(
+        "wedges",
+        "triangles",
+        F.round(
+            F.try_divide(3.0 * F.col("triangles"), F.col("wedges")), 6
+        ).alias("transitivity"),
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(deg, n_vertices, knn): Pastor-Satorras k_nn(k) — for each degree
+    class k, the mean over degree-k vertices of their mean neighbor
+    degree, on the symmetrized simple graph. The degree-correlation
+    profile that graph_profile's single assortativity scalar summarizes:
+    a falling knn(k) curve (disassortative hubs linking to leaves) is the
+    signature load-imbalance case the skew guards here are built for.
+
+    100 TB shape: degree agg (map-side combined), ONE edge-sized join to
+    attach neighbor degrees, per-vertex mean, then a degree-class agg
+    whose key cardinality is the distinct-degree count (≤ ~log-scale in
+    practice). No window, no Python; output rows = distinct degrees."""
+    d = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    simple = d.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = simple.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(simple.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    per_vertex = (
+        sym.join(
+            deg.select(F.col("vid").alias("dst"), F.col("deg").alias("deg_v")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.avg(F.col("deg_v").cast("double")).alias("mean_nbr_deg"))
+        .join(deg, "vid")
+    )
+    return (
+        per_vertex.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.round(F.avg("mean_nbr_deg"), 6).alias("knn"),
+        )
+        .select("deg", "n_vertices", "knn")
+    )

@@ -318,3 +318,81 @@ def personalized_pagerank(
     seed_df.unpersist()
     verts.unpersist()
     return out
+
+
+def pagerank_trace(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(iter, l1_delta): per-iteration L1 movement of the rank vector —
+    the convergence diagnostic run before committing an iteration budget
+    on a new crawl (pick the knee of the curve, then run pagerank() with
+    that budget). Same recurrence as pagerank() sql mode (uniform init,
+    out-weight-normalized contributions, dangling mass redistributed
+    uniformly); l1_delta(i) = sum_v |r_i(v) - r_{i-1}(v)|, rounded 9.
+
+    100 TB shape: identical per-iteration plan to pagerank() (ONE
+    edge-sized join + ONE dst agg, dangling mass as a broadcast one-row
+    frame) plus one vertex-sized join for the delta; the only driver
+    traffic is one scalar per iteration (the banked trace row), same
+    collect class as the tol-mode l1 probe. Frames persist one iteration
+    and are released; output is `iterations` rows."""
+    verts = vertices.select("vid").distinct()
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "iter INT, l1_delta DOUBLE")
+    wout = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
+    edges_prep = (
+        edges.join(wout, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
+        .persist()
+    )
+    dangling = verts.join(
+        edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).persist()
+    rows = []
+    for it in range(1, iterations + 1):
+        dm_df = ranks.join(dangling, "vid", "semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        summed = (
+            edges_prep.join(ranks.withColumnRenamed("vid", "src"), "src")
+            .select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        new_ranks = (
+            verts.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        l1 = (
+            new_ranks.join(
+                ranks.select("vid", F.col("rank").alias("prev")), "vid"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        rows.append((it, float(l1)))
+        ranks.unpersist()
+        ranks = new_ranks
+    ranks.unpersist()
+    edges_prep.unpersist()
+    return spark.createDataFrame(rows, "iter INT, l1_delta DOUBLE").select(
+        "iter", F.round("l1_delta", 9).alias("l1_delta")
+    )

@@ -235,3 +235,57 @@ def bigram_counts(
         ).alias("bigram")
     )
     return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(bigram, n, pmi): pointwise mutual information of adjacent word
+    pairs — the collocation extractor (Church & Hanks '90) layered on
+    bigram_counts: pmi = ln(P(a,b) / (P_left(a) * P_right(b))) with the
+    margins taken from the bigram table itself (left margin = count of a
+    as first word, right margin = count of b as second word, N = total
+    bigrams), so the three estimates share one sample space. min_count
+    floors the classic low-frequency PMI blowup (a pair seen once gets a
+    huge score by chance).
+
+    100 TB shape: one bigram count (linear in corpus tokens, map-side
+    combined), two margin re-aggregations of the COUNTED table (key
+    cardinality = vocabulary, not corpus), one broadcast scalar for N,
+    two vocabulary-keyed joins back. Nothing rescans the corpus; output
+    is the >= min_count vocabulary-pair table."""
+    # no persist: the module's convention is stateless operators with no
+    # cache-release obligation on the caller (ADVICE r5 discipline); the
+    # margin branches re-derive the counted table, whose shuffle Spark's
+    # ReusedExchange dedups within the one output plan
+    bc = bigram_counts(docs, id_col, text_col)
+    left = bc.groupBy(
+        F.split("bigram", " ")[0].alias("wa")
+    ).agg(F.sum("n").alias("n_a"))
+    right = bc.groupBy(
+        F.split("bigram", " ")[1].alias("wb")
+    ).agg(F.sum("n").alias("n_b"))
+    total = bc.agg(F.sum("n").alias("n_total"))
+    out = (
+        bc.where(F.col("n") >= min_count)
+        .withColumn("wa", F.split("bigram", " ")[0])
+        .withColumn("wb", F.split("bigram", " ")[1])
+        .join(left, "wa")
+        .join(right, "wb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") * F.col("n_total"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out

@@ -1,0 +1,201 @@
+"""Late-round-6 operator gates: global transitivity, avg-neighbor-degree
+profile, PageRank convergence trace, graded n-gram contamination,
+winnowing fingerprints, bigram PMI — each checked against hand-computed
+or NumPy/Python-replayed expectations on tiny known inputs (the
+cross-engine DuckDB side-by-side lives in test_entry.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1) for a, b in pairs],
+        "src long, dst long, weight long",
+    )
+
+
+# triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1; wedges 1+1+3+0 = 5,
+# one triangle, transitivity 3/5
+_TRI_PENDANT = [(1, 2), (2, 3), (1, 3), (3, 4)]
+
+
+def test_global_transitivity_exact(spark):
+    from comm_detect_spark.operators.graphstats import global_transitivity
+
+    row = global_transitivity(_edges(spark, _TRI_PENDANT)).collect()[0]
+    assert row["wedges"] == 5
+    assert row["triangles"] == 1
+    assert row["transitivity"] == pytest.approx(0.6)
+
+
+def test_global_transitivity_triangle_free_and_no_wedge(spark):
+    from comm_detect_spark.operators.graphstats import global_transitivity
+
+    # star: 3 wedges, 0 triangles -> 0.0
+    row = global_transitivity(
+        _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    ).collect()[0]
+    assert (row["wedges"], row["triangles"], row["transitivity"]) == (3, 0, 0.0)
+    # single edge: no wedge -> NULL (try_divide), not a crash
+    row = global_transitivity(_edges(spark, [(7, 8)])).collect()[0]
+    assert row["wedges"] == 0 and row["transitivity"] is None
+
+
+def test_avg_neighbor_degree_exact(spark):
+    from comm_detect_spark.operators.graphstats import avg_neighbor_degree
+
+    got = {
+        r["deg"]: (r["n_vertices"], r["knn"])
+        for r in avg_neighbor_degree(_edges(spark, _TRI_PENDANT)).collect()
+    }
+    assert got == {
+        1: (1, 3.0),          # vertex 4 -> neighbor 3 (deg 3)
+        2: (2, 2.5),          # vertices 1,2 -> neighbors of degree 2 and 3
+        3: (1, pytest.approx(round(5 / 3, 6))),  # vertex 3 -> 2,2,1
+    }
+
+
+def test_avg_neighbor_degree_ignores_direction_loops_multiplicity(spark):
+    from comm_detect_spark.operators.graphstats import avg_neighbor_degree
+
+    base = avg_neighbor_degree(_edges(spark, _TRI_PENDANT)).collect()
+    noisy = avg_neighbor_degree(
+        _edges(spark, _TRI_PENDANT + [(2, 1), (3, 3), (1, 2)])
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, noisy))
+
+
+def test_pagerank_trace_matches_numpy_replay(spark):
+    from comm_detect_spark.operators.pagerank import pagerank_trace
+
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 2 is NOT dangling; 5 absent
+    e = _edges(spark, pairs)
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5]], "vid long")
+    got = {
+        r["iter"]: r["l1_delta"]
+        for r in pagerank_trace(spark, e, verts, iterations=3).collect()
+    }
+    # vertex 5 is dangling (in verts, no out-edge)
+    want = _numpy_pr_trace_with_verts(pairs, [1, 2, 3, 4, 5], 3)
+    assert set(got) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert got[i] == pytest.approx(round(want[i - 1], 9), abs=1e-9)
+
+
+def _numpy_pr_trace_with_verts(pairs, verts, n_iter, damping=0.85):
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    wout = {}
+    for s, _ in pairs:
+        wout[s] = wout.get(s, 0) + 1
+    r = [1.0 / n] * n
+    out = []
+    for _ in range(n_iter):
+        dm = sum(r[idx[v]] for v in verts if v not in wout)
+        contrib = [0.0] * n
+        for s, d in pairs:
+            contrib[idx[d]] += r[idx[s]] / wout[s]
+        nr = [(1 - damping) / n + damping * (c + dm / n) for c in contrib]
+        out.append(sum(abs(a - b) for a, b in zip(nr, r)))
+        r = nr
+    return out
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_contamination_exact(spark):
+    from comm_detect_spark.operators.dedup import ngram_contamination
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),   # shingles: 3, one leaked
+            (2, "totally clean text here now"), # 3 shingles, zero hits
+            (3, ""),                            # no shingles
+        ],
+    )
+    bench = _docs(spark, [(100, "a quick brown fox appears")])
+    got = {
+        r["id"]: (r["n_shingles"], r["n_hit"], r["contamination"])
+        for r in ngram_contamination(corpus, bench, n=3).collect()
+    }
+    assert got[1] == (3, 1, pytest.approx(round(1 / 3, 6)))
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (0, 0, None)
+
+
+def _h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> set[int]:
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    n = len(toks)
+    sh = [
+        " ".join(toks[i : i + k]) for i in range(max(n - k, 0) + 1)
+    ]
+    sh = [s for s in sh if s]
+    hs = [_h60_py(s) for s in sh]
+    return {min(hs[i : i + w]) for i in range(len(hs))}
+
+
+def test_winnow_fingerprints_matches_python_replay(spark):
+    from comm_detect_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "one two three"),
+        (3, "Shared   Run of words x y z q r s t u v"),
+    ]
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(_docs(spark, texts), k=3, w=4).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for doc_id, text in texts:
+        assert got[doc_id] == _py_winnow(text), doc_id
+
+
+def test_winnow_shared_run_guarantee(spark):
+    from comm_detect_spark.operators.dedup import winnow_fingerprints
+
+    # two docs sharing a run of w+k-1 = 6 words must share >= 1 fingerprint
+    run = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [(1, f"prefix words here {run}"), (2, f"{run} completely other tail")],
+    )
+    fps: dict[int, set[int]] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(docs, k=3, w=4).collect():
+        fps[r["id"]].add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+def test_bigram_pmi_exact(spark):
+    from comm_detect_spark.operators.ranking import bigram_pmi
+
+    # "a b" x5 (as "a b c" docs also feed "b c" x5), plus "a d" x5
+    docs = _docs(
+        spark,
+        [(i, "a b c") for i in range(5)] + [(i + 10, "a d") for i in range(5)],
+    )
+    got = {r["bigram"]: (r["n"], r["pmi"]) for r in bigram_pmi(docs, min_count=5).collect()}
+    # N=15 bigrams: "a b":5, "b c":5, "a d":5. left: a:10, b:5. right: b:5, c:5, d:5.
+    assert got["a b"] == (5, pytest.approx(round(math.log(5 * 15 / (10 * 5)), 6)))
+    assert got["b c"] == (5, pytest.approx(round(math.log(5 * 15 / (5 * 5)), 6)))
+    assert got["a d"] == (5, pytest.approx(round(math.log(5 * 15 / (10 * 5)), 6)))
+
+
+def test_bigram_pmi_min_count_floor(spark):
+    from comm_detect_spark.operators.ranking import bigram_pmi
+
+    docs = _docs(spark, [(1, "rare pair"), (2, "a b"), (3, "a b")])
+    got = {r["bigram"] for r in bigram_pmi(docs, min_count=2).collect()}
+    assert got == {"a b"}
