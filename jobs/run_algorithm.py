@@ -32,7 +32,8 @@ def main():
                              "lpa_sync", "lpa_async", "louvain", "triangles",
                              "kcore", "clustering", "walks", "mis", "ktruss",
                              "profile", "linkpred", "seeded_lpa", "sssp",
-                             "coloring", "katz", "betweenness", "coreness"])
+                             "coloring", "katz", "betweenness", "coreness",
+                             "khop", "transitivity", "knn"])
     ap.add_argument("--edges", help="edge parquet (src, dst, weight)")
     ap.add_argument("--pages", help="pages parquet (url, warc_ts, html, text, lang)")
     ap.add_argument("--out", required=True)
@@ -96,7 +97,7 @@ def main():
     if args.resume and args.algo in ("triangles", "kcore", "clustering",
                                      "scc", "anf"):
         ap.error(f"--resume is not supported for {args.algo}")
-    if args.algo in ("ppr", "seeded_lpa", "sssp") and not args.seeds:
+    if args.algo in ("ppr", "seeded_lpa", "sssp", "khop") and not args.seeds:
         ap.error(f"--algo {args.algo} requires --seeds")
 
     vertices = None
@@ -273,6 +274,22 @@ def main():
         # --seeds here is a (vid, label) parquet (vs the vid-only ppr set)
         seeds = spark.read.parquet(args.seeds)
         out = seeded_lpa(spark, edges, seeds, rounds=args.rounds or 3)
+    elif args.algo == "khop":
+        from comm_detect_spark.operators.subgraph import khop_subgraph
+
+        # --seeds is a (vid) parquet; --k is the hop radius
+        seed_ids = [
+            r["vid"] for r in spark.read.parquet(args.seeds).collect()
+        ]
+        out = khop_subgraph(spark, edges, seed_ids, k=args.k)
+    elif args.algo == "transitivity":
+        from comm_detect_spark.operators.graphstats import global_transitivity
+
+        out = global_transitivity(edges)
+    elif args.algo == "knn":
+        from comm_detect_spark.operators.graphstats import avg_neighbor_degree
+
+        out = avg_neighbor_degree(edges)
     elif args.algo == "linkpred":
         from comm_detect_spark.operators.linkpred import (
             link_prediction_scores,

@@ -267,3 +267,53 @@ def test_spark_submit_ktruss_end_to_end(spark, tmp_path, jazz, jazz_df):
         for r in k_truss(spark, jazz_df, k=5).collect()
     }
     assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_spark_submit_khop_and_transitivity(spark, tmp_path):
+    """--algo khop then --algo transitivity chained end-to-end in separate
+    JVMs: extract the 1-hop neighborhood of a seed on a known graph, then
+    profile the extracted subgraph — the subgraph CLI output must be a
+    valid edge input for every other --algo."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "comm_detect_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "package.py"),
+         "--out", zip_path],
+        check=True, cwd=root,
+    )
+    # triangle 0-1-2 reachable 1 hop out of 0 (via 0->1, 0->2), plus a
+    # far chain 3->4 the 1-hop cut must exclude
+    edges_path = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (1, 2, 1), (2, 0, 1), (3, 4, 1)],
+        "src long, dst long, weight long",
+    ).write.mode("overwrite").parquet(edges_path)
+    seeds_path = str(tmp_path / "seeds.parquet")
+    spark.createDataFrame([(0,)], "vid BIGINT").write.mode(
+        "overwrite"
+    ).parquet(seeds_path)
+    sub_path = str(tmp_path / "sub")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    base = [spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(root, "jobs", "run_algorithm.py")]
+    subprocess.run(
+        base + ["--algo", "khop", "--edges", edges_path,
+                "--seeds", seeds_path, "--out", sub_path, "--k", "1"],
+        check=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    sub = {(r["src"], r["dst"]) for r in spark.read.parquet(sub_path).collect()}
+    assert sub == {(0, 1), (0, 2), (1, 2), (2, 0)}
+    prof_path = str(tmp_path / "prof")
+    subprocess.run(
+        base + ["--algo", "transitivity", "--edges", sub_path,
+                "--out", prof_path],
+        check=True, cwd=str(tmp_path), env=env, timeout=420,
+    )
+    row = spark.read.parquet(prof_path).collect()[0]
+    assert (row["wedges"], row["triangles"], row["transitivity"]) == (3, 1, 1.0)
