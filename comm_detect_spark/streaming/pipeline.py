@@ -288,6 +288,44 @@ def streaming_decontaminate(
     )
 
 
+def streaming_ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.ngram_contamination: the graded
+    fraction-leaked score as a per-row expression over the document
+    stream. Same stateless shape as streaming_decontaminate (static
+    benchmark folded into ONE broadcast array row), but emits EVERY
+    document with (n_shingles, n_hit, contamination) — the scoring tap a
+    pipeline routes on (e.g. quarantine > 0.1, annotate > 0) rather than
+    the boolean quarantine stream. No aggregation, no state store,
+    append mode, runs forever unchanged."""
+    from comm_detect_spark.operators.dedup import shingle_array, shingles
+
+    bench_set = (
+        shingles(
+            benchmark.select(
+                F.lit(0).alias("_bid"), F.col(text_col).alias("text")
+            ),
+            "_bid",
+            "text",
+            n,
+        )
+        .agg(F.collect_set("shingle").alias("_bench"))
+    )
+    own = F.array_distinct(shingle_array(F.col(text_col), n))
+    hits = F.size(F.array_intersect(own, F.col("_bench")))
+    return docs.crossJoin(F.broadcast(bench_set)).select(
+        F.col(id_col).alias("id"),
+        F.size(own).cast("bigint").alias("n_shingles"),
+        hits.cast("bigint").alias("n_hit"),
+        F.round(F.try_divide(hits, F.size(own)), 6).alias("contamination"),
+    )
+
+
 def streaming_segment_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -328,3 +328,35 @@ class TestStreamingStratifiedSample:
             ).select("doc_id", "lang").collect()
         }
         assert got == want and 0 < len(got) < docs.count()
+
+
+class TestStreamingNgramContamination:
+    def test_matches_batch_ngram_contamination(self, spark, tmp_path):
+        """Append-mode streaming graded contamination == the batch
+        operator row-for-row (n_shingles, n_hit, contamination) — the
+        stateless array-expression form must not change semantics."""
+        from comm_detect_spark.operators.dedup import ngram_contamination
+        from comm_detect_spark.streaming.pipeline import (
+            streaming_ngram_contamination,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        bench = docs.where(F.col("doc_id") % 10 == 0)
+        src_dir = str(tmp_path / "docs_ngc")
+        corpus.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(corpus.schema).parquet(src_dir)
+        _run_stream(
+            streaming_ngram_contamination(stream, bench, n=3),
+            "docs_ngc", "append",
+        )
+        got = {
+            (r["id"], r["n_shingles"], r["n_hit"], r["contamination"])
+            for r in spark.sql("SELECT * FROM docs_ngc").collect()
+        }
+        want = {
+            (r["id"], r["n_shingles"], r["n_hit"], r["contamination"])
+            for r in ngram_contamination(corpus, bench, n=3).collect()
+        }
+        assert got == want and len(got) > 0
+        assert any(h > 0 for (_, _, h, _) in got)
