@@ -199,3 +199,60 @@ def test_bigram_pmi_min_count_floor(spark):
     docs = _docs(spark, [(1, "rare pair"), (2, "a b"), (3, "a b")])
     got = {r["bigram"] for r in bigram_pmi(docs, min_count=2).collect()}
     assert got == {"a b"}
+
+
+# ---------------------------------------------------------------------------
+# plan shape + cache release for the late-r6 batch
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_plan_one_exchange_no_python(spark):
+    """The positional-shingle explode co-locates nothing; the ONLY shuffle
+    is the window's hash exchange on id, which the downstream distinct
+    (grouping on (id, fp) — a superset of the partitioning key) reuses.
+    Everything stays JVM-side."""
+    from tests.test_plans import live_exchange_count, plan_of
+
+    from comm_detect_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    plan = plan_of(winnow_fingerprints(docs, k=3, w=4))
+    assert live_exchange_count(plan) == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_transitivity_and_pmi_plans_no_cartesian_no_python(spark):
+    from tests.test_plans import plan_of
+
+    from comm_detect_spark.operators.graphstats import global_transitivity
+    from comm_detect_spark.operators.ranking import bigram_pmi
+
+    plan = plan_of(global_transitivity(_edges(spark, _TRI_PENDANT)))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    docs = _docs(spark, [(1, "a b c"), (2, "a b")])
+    plan = plan_of(bigram_pmi(docs, min_count=1))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_trace_releases_caches(spark):
+    import time
+
+    from comm_detect_spark.operators.pagerank import pagerank_trace
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    e = _edges(spark, [(i, (i + 1) % 20) for i in range(20)])
+    verts = spark.createDataFrame([(i,) for i in range(20)], "vid long")
+    out = pagerank_trace(spark, e, verts, iterations=2)
+    assert out.count() == 2
+    # unpersist is non-blocking; poll briefly for the release to land
+    for _ in range(20):
+        if jsc.getPersistentRDDs().size() - before <= 0:
+            break
+        time.sleep(0.25)
+    assert jsc.getPersistentRDDs().size() - before <= 0
