@@ -2227,6 +2227,21 @@ GROUP BY 1, 2
 """
 
 
+def _q_cc_warm(spark, sf_dir):
+    """Warm-start connected components (components.py:connected_components
+    init= — the crawl-refresh path pairing edge_diff's 'added' stream with
+    warm pagerank): seeded with a converged labeling, ONE fixed round must
+    already be at the fixpoint, so the result equals the cold cc_full
+    oracle (idempotence graded externally; warm-across-delta == cold is
+    pytest-pinned)."""
+    sym = _g_sym(spark, sf_dir)
+    verts = _g_verts(spark, sf_dir)
+    cold = connected_components(spark, sym, vertices=verts, max_iter=50)
+    return connected_components(
+        spark, sym, vertices=verts, rounds=1, init=cold
+    )
+
+
 def _q_transitivity(spark, sf_dir):
     """Global clustering coefficient 3T/W on the triangle graph
     (graphstats.py:global_transitivity — degree-ordered triangle count +
@@ -2329,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- graded window (slots 1-50) -----------------------------------
         # late-r6 additions (never graded): first so CORRECTNESS_r06 sees
         # them on their debut round (VERDICT r5 next #9)
+        "cc_warm": _q_cc_warm,
         "transitivity_global": _q_transitivity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "pagerank_delta_trace": _q_pagerank_trace,
@@ -2717,6 +2733,17 @@ def oracle_sql() -> dict[str, str]:
     h60_shingle = _H60_SQL.format(x="sh.shingle")
     h60_winnow = _H60_SQL.format(x="shingle")
     out = {
+        # warm-start CC seeded with the converged labeling must reproduce
+        # the cold fixpoint exactly — same recursive-CTE oracle as cc_full
+        "cc_warm": f"""
+WITH RECURSIVE {_SQL_G},
+reach(vid, comp) AS (
+  SELECT vid, vid FROM g_verts
+  UNION
+  SELECT e.dst, r.comp FROM g_sym e JOIN reach r ON e.src = r.vid
+)
+SELECT vid, MIN(comp) AS comp FROM reach GROUP BY vid
+""",
         "transitivity_global": f"""
 WITH {_SQL_T},
 simple AS (

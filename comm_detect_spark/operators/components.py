@@ -32,8 +32,23 @@ def connected_components(
     resume: bool = False,
     num_partitions: int | None = None,
     rounds: int | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (vid BIGINT, comp BIGINT), comp = min vid in component.
+
+    ``init``: optional (vid, comp) warm-start labeling from a previous
+    crawl's run. SOUND FOR ADDITIVE DELTAS ONLY (new vertices, new
+    edges — the crawl-refresh case edge_diff's 'added' stream feeds):
+    every vertex starts at least(vid, old comp), so the fixpoint is
+    min over the component of {vids} ∪ {old labels} = the exact min
+    vid (old labels are themselves component-member vids), reached in
+    rounds proportional to the DELTA's reach, not the diameter. Edge
+    REMOVALS can split components; a split piece would keep the merged
+    label — run cold after removals (the operator cannot see them).
+    Stale labels (vertices gone from ``vertices``) are filtered out, so
+    a pruned crawl degrades to cold-start propagation for the affected
+    vertices instead of emitting dangling component ids. Ignored on
+    resume (the checkpoint state wins).
 
     Same co-partitioning contract as lpa_sync: edges cached hash(src, P),
     iterated comp state on hash(vid, P) — the per-round join is
@@ -63,6 +78,23 @@ def connected_components(
         if int(hist.get(start_it, {}).get("changed", 1)) == 0:
             e.unpersist()
             return drv.finish(start_it)
+    elif init is not None:
+        # warm start: least(vid, old label), stale labels dropped (see
+        # docstring — additive-delta contract)
+        live = init.join(
+            verts.select(F.col("vid").alias("comp")), "comp", "semi"
+        ).select("vid", F.col("comp").alias("_ic"))
+        comp = drv.start(
+            verts.join(live, "vid", "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("vid"), F.coalesce("_ic", F.col("vid"))
+                ).alias("comp"),
+            )
+            .repartition(p, "vid")
+        )
+        start_it = 0
     else:
         comp = drv.start(
             verts.withColumn("comp", F.col("vid")).repartition(p, "vid")

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--checkpoint-root")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init",
+                    help="warm-start parquet from a previous crawl's run: "
+                         "(vid, rank) for --algo pagerank, (vid, comp) for "
+                         "--algo cc (cc: sound for additive deltas only)")
     ap.add_argument("--output-buckets", type=int, default=None,
                     help="also register <out> as a vid-bucketed table "
                          "(downstream joins start co-partitioned — one "
@@ -130,12 +134,18 @@ def main():
 
     driver = make_driver(args.run_id)
 
+    if args.init and args.algo not in ("pagerank", "cc"):
+        ap.error(f"--init is not supported for {args.algo}")
+    init_df = spark.read.parquet(args.init) if args.init else None
+
     if args.algo == "pagerank":
         out = pagerank(spark, edges, n, iterations=args.iterations,
-                       driver=driver, vertices=vids, resume=args.resume)
+                       driver=driver, vertices=vids, resume=args.resume,
+                       init=init_df)
     elif args.algo == "cc":
         out = connected_components(spark, edges, n, driver=driver,
-                                   vertices=vids, resume=args.resume)
+                                   vertices=vids, resume=args.resume,
+                                   init=init_df)
     elif args.algo == "lpa_sync":
         out = lpa_sync(spark, edges, n, driver=driver, vertices=vids,
                        resume=args.resume)

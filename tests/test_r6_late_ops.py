@@ -256,3 +256,100 @@ def test_pagerank_trace_releases_caches(spark):
             break
         time.sleep(0.25)
     assert jsc.getPersistentRDDs().size() - before <= 0
+
+
+# ---------------------------------------------------------------------------
+# warm-start connected components (crawl-refresh delta path)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, pairs, verts_ids, **kw):
+    from comm_detect_spark.operators.components import connected_components
+
+    sym = []
+    for a, b in pairs:
+        sym += [(a, b), (b, a)]
+    e = _edges(spark, sym)
+    verts = spark.createDataFrame([(v,) for v in verts_ids], "vid long")
+    return {
+        r["vid"]: r["comp"]
+        for r in connected_components(spark, e, vertices=verts, **kw).collect()
+    }
+
+
+def test_cc_warm_equals_cold_after_edge_addition(spark):
+    from comm_detect_spark.operators.components import connected_components
+
+    verts = list(range(8))
+    old_pairs = [(0, 1), (1, 2), (4, 5), (6, 7)]   # comps {0,1,2} {3} {4,5} {6,7}
+    cold_old = _cc(spark, old_pairs, verts)
+    assert cold_old == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 6}
+    # crawl refresh: bridge 2-4 and attach new vertex 8 to 7
+    new_pairs = old_pairs + [(2, 4), (7, 8)]
+    new_verts = verts + [8]
+    cold_new = _cc(spark, new_pairs, new_verts)
+    sym = []
+    for a, b in new_pairs:
+        sym += [(a, b), (b, a)]
+    init = spark.createDataFrame(
+        [(v, c) for v, c in cold_old.items()], "vid long, comp long"
+    )
+    warm = {
+        r["vid"]: r["comp"]
+        for r in connected_components(
+            spark,
+            _edges(spark, sym),
+            vertices=spark.createDataFrame(
+                [(v,) for v in new_verts], "vid long"
+            ),
+            init=init,
+        ).collect()
+    }
+    assert warm == cold_new
+    assert warm[4] == 0 and warm[8] == 6
+
+
+def test_cc_warm_drops_stale_labels_on_pruned_crawl(spark):
+    from comm_detect_spark.operators.components import connected_components
+
+    # old labeling said comp(1)=comp(2)=0, but vertex 0 is gone from the
+    # new crawl (NOT an edge removal: the 1-2 edge survives) — the stale
+    # label 0 must not leak into the output
+    init = spark.createDataFrame(
+        [(1, 0), (2, 0)], "vid long, comp long"
+    )
+    got = {
+        r["vid"]: r["comp"]
+        for r in connected_components(
+            spark,
+            _edges(spark, [(1, 2), (2, 1)]),
+            vertices=spark.createDataFrame([(1,), (2,)], "vid long"),
+            init=init,
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_cc_warm_idempotent_one_round(spark):
+    from comm_detect_spark.operators.components import connected_components
+
+    pairs = [(0, 1), (1, 2), (3, 4)]
+    verts = list(range(5))
+    cold = _cc(spark, pairs, verts)
+    sym = []
+    for a, b in pairs:
+        sym += [(a, b), (b, a)]
+    init = spark.createDataFrame(
+        [(v, c) for v, c in cold.items()], "vid long, comp long"
+    )
+    warm1 = {
+        r["vid"]: r["comp"]
+        for r in connected_components(
+            spark,
+            _edges(spark, sym),
+            vertices=spark.createDataFrame([(v,) for v in verts], "vid long"),
+            rounds=1,
+            init=init,
+        ).collect()
+    }
+    assert warm1 == cold
