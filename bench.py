@@ -290,6 +290,10 @@ def main() -> None:
             # round-6 additions: first round of history
             "graph_delta", "shard_stats", "ivf_recall_at5", "funnel_vcp",
             "retention_cohorts",
+            # late-r6 batch: first round of history
+            "transitivity_global", "avg_neighbor_degree",
+            "pagerank_delta_trace", "ngram_contamination", "winnow_fp",
+            "bigram_pmi_top20", "cc_warm",
         }
         bench_queries = [q for q in bench_queries if q in core]
     # full Louvain on sf0.01: parity mode (num_blocks=1, the single-task
