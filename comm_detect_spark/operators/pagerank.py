@@ -350,9 +350,11 @@ def pagerank_trace(
         .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
         .persist()
     )
+    # persisted like pagerank()'s: the left_anti derivation is an
+    # edge-sized distinct that must not re-run every iteration
     dangling = verts.join(
         edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
-    )
+    ).persist()
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).persist()
     rows = []
     for it in range(1, iterations + 1):
@@ -393,6 +395,7 @@ def pagerank_trace(
         ranks = new_ranks
     ranks.unpersist()
     edges_prep.unpersist()
+    dangling.unpersist()
     return spark.createDataFrame(rows, "iter INT, l1_delta DOUBLE").select(
         "iter", F.round("l1_delta", 9).alias("l1_delta")
     )
