@@ -266,6 +266,14 @@ def main() -> None:
         "ivf_recall_at5",
         "funnel_vcp",
         "retention_cohorts",
+        # late-r6 batch
+        "cc_warm",
+        "transitivity_global",
+        "avg_neighbor_degree",
+        "pagerank_delta_trace",
+        "ngram_contamination",
+        "winnow_fp",
+        "bigram_pmi_top20",
     ]
     # Tiering (VERDICT r5 #8): the full sweep is 76+ queries x reps (~17 min
     # at sf0.1 on this host) and grows with coverage. The per-round default
