@@ -930,6 +930,29 @@ GROUP BY 1, 2
 """
 
 
+def _ppmi_oracle_sql(window: int = 2) -> str:
+    """PPMI over the replayed skip-gram pairs: nest the skipgram oracle
+    (itself a nested walk replay) and recompute the center/context margins
+    and N from the counted pair table — mirrors walks.py:ppmi_scores'
+    float order ((cnt*N)/(n_c*n_x), natural log, max 0, round 6)."""
+    inner = _skipgram_oracle_sql(window=window)
+    return f"""
+WITH pairs AS (
+{inner}
+),
+l AS (SELECT center, SUM(cnt) AS n_c FROM pairs GROUP BY center),
+r AS (SELECT context, SUM(cnt) AS n_x FROM pairs GROUP BY context),
+tot AS (SELECT SUM(cnt) AS n_total FROM pairs)
+SELECT p.center, p.context, CAST(p.cnt AS BIGINT) AS cnt,
+       ROUND(GREATEST(0.0,
+         LN((p.cnt * 1.0 * tot.n_total) / (l.n_c * 1.0 * r.n_x))), 6) AS ppmi
+FROM pairs p
+JOIN l USING (center)
+JOIN r USING (context)
+CROSS JOIN tot
+"""
+
+
 def _q_ego_subgraph_k2(spark, sf_dir):
     """Induced 2-out-hop ego subgraph of seeds {0, 1} on the weighted T
     graph (subgraph.py): frontier reach rounds + one semi-join per
@@ -2227,6 +2250,38 @@ GROUP BY 1, 2
 """
 
 
+def _q_ann_batch_top3(spark, sf_dir):
+    """Exact batch ANN baseline (similarity.py:brute_force_topk_batch —
+    broadcast query batch, ONE corpus pass, WindowGroupLimit top-k):
+    queries = every 97th vector scoring the whole embedding table."""
+    from comm_detect_spark.operators.similarity import brute_force_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk_batch(
+        emb, emb.where(F.col("vec_id") % 97 == 0), k=3
+    )
+
+
+def _q_skipgram_ppmi(spark, sf_dir):
+    """PPMI matrix entries over the walk skip-gram pairs
+    (walks.py:ppmi_scores — the Levy-Goldberg closed-form embedding
+    target; margins re-aggregated from the counted pair table). Oracle
+    nests the skipgram replay SQL and recomputes the margins."""
+    from comm_detect_spark.operators.walks import (
+        ppmi_scores,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    li = _lineitem(spark, sf_dir).where(F.col("l_linenumber") == 1)
+    e = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    w = random_walks(e, walk_length=3, seed=42)
+    return ppmi_scores(skipgram_pairs(w, window=2))
+
+
 def _q_cc_warm(spark, sf_dir):
     """Warm-start connected components (components.py:connected_components
     init= — the crawl-refresh path pairing edge_diff's 'added' stream with
@@ -2344,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- graded window (slots 1-50) -----------------------------------
         # late-r6 additions (never graded): first so CORRECTNESS_r06 sees
         # them on their debut round (VERDICT r5 next #9)
+        "ann_batch_top3": _q_ann_batch_top3,
+        "skipgram_ppmi_w2": _q_skipgram_ppmi,
         "cc_warm": _q_cc_warm,
         "transitivity_global": _q_transitivity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
@@ -2733,6 +2790,31 @@ def oracle_sql() -> dict[str, str]:
     h60_shingle = _H60_SQL.format(x="sh.shingle")
     h60_winnow = _H60_SQL.format(x="shingle")
     out = {
+        "ann_batch_top3": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))),
+         6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, id ASC
+         ) AS INT) AS rnk
+  FROM scored
+)
+SELECT query_id, id, cosine, rnk FROM ranked WHERE rnk <= 3
+""",
+        "skipgram_ppmi_w2": _ppmi_oracle_sql(window=2),
         # warm-start CC seeded with the converged labeling must reproduce
         # the cold fixpoint exactly — same recursive-CTE oracle as cc_full
         "cc_warm": f"""

@@ -267,6 +267,8 @@ def main() -> None:
         "funnel_vcp",
         "retention_cohorts",
         # late-r6 batch
+        "ann_batch_top3",
+        "skipgram_ppmi_w2",
         "cc_warm",
         "transitivity_global",
         "avg_neighbor_degree",
@@ -299,6 +301,7 @@ def main() -> None:
             "graph_delta", "shard_stats", "ivf_recall_at5", "funnel_vcp",
             "retention_cohorts",
             # late-r6 batch: first round of history
+            "ann_batch_top3", "skipgram_ppmi_w2",
             "transitivity_global", "avg_neighbor_degree",
             "pagerank_delta_trace", "ngram_contamination", "winnow_fp",
             "bigram_pmi_top20", "cc_warm",

@@ -545,3 +545,57 @@ def semantic_clusters(
     return comp.select(
         F.col("vid").alias("vec_id"), F.col("comp").alias("cluster")
     )
+
+
+def brute_force_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, id, cosine, rnk): exact top-k for a BATCH of query
+    vectors in one corpus pass — the production serving shape (requests
+    arrive in batches; scoring the corpus once per query is N_q scans,
+    this is one). Queries are BROADCAST (the small side by definition:
+    a batch is KBs-MBs against a corpus of TBs); the dot product and
+    norms are pure column expressions over the two array columns
+    (zip_with + aggregate, JVM-side, no Python).
+
+    100 TB shape: ONE scan of the corpus; scored rows never materialize
+    beyond the per-partition window sort because the rnk <= k filter
+    triggers Spark's WindowGroupLimit pushdown (top-k kept per partition
+    BEFORE the exchange — same plan contract as
+    ranking.top_terms_per_doc). Output is N_q * k rows. For recall/cost
+    tradeoffs at larger N_q, feed the same batch through ivf_topk per
+    probe list instead; this operator is the exact baseline the IVF
+    recall self-measurement grades against."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("_qv"),
+    )
+    v = _as_double(F.col(vec_col))
+    dot = F.aggregate(
+        F.zip_with(v, F.col("_qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    qn = F.sqrt(
+        F.aggregate(F.col("_qv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = df.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        F.round(dot / (vn * qn), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )

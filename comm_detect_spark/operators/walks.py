@@ -502,3 +502,46 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ppmi_scores(pairs: DataFrame, min_count: int = 1) -> DataFrame:
+    """(center, context, cnt, ppmi): positive pointwise mutual information
+    over a (center, context, cnt) pair table — the skipgram_pairs output.
+    PPMI = max(0, ln(P(c,x) / (P(c) P(x)))) with margins re-aggregated
+    from the pair table itself (center margin = total cnt as center,
+    context margin = total cnt as context, N = total pairs): the
+    Levy-Goldberg result that SGNS implicitly factorizes this matrix is
+    why PPMI-on-walk-cooccurrence is the closed-form stand-in for a
+    trained embedding — the walks -> skipgram -> PPMI chain is the
+    DeepWalk data product end-to-end. min_count floors the
+    low-frequency blowup (same rationale as bigram_pmi).
+
+    100 TB shape: two margin re-aggregations of the ALREADY-COUNTED pair
+    table (vertex-keyed, not corpus-keyed), one broadcast scalar, two
+    vertex-keyed joins back — nothing rescans the walk corpus. Skew: the
+    margin keys are walk-visit-frequency-weighted vertices (hubs), the
+    same key class as every degree join here; AQE-split."""
+    left = pairs.groupBy("center").agg(F.sum("cnt").alias("n_c"))
+    right = pairs.groupBy("context").agg(F.sum("cnt").alias("n_x"))
+    total = pairs.agg(F.sum("cnt").alias("n_total"))
+    return (
+        pairs.where(F.col("cnt") >= min_count)
+        .join(left, "center")
+        .join(right, "context")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "center",
+            "context",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        (F.col("cnt").cast("double") * F.col("n_total"))
+                        / (F.col("n_c").cast("double") * F.col("n_x"))
+                    ),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )

@@ -353,3 +353,88 @@ def test_cc_warm_idempotent_one_round(spark):
         ).collect()
     }
     assert warm1 == cold
+
+
+# ---------------------------------------------------------------------------
+# batch ANN baseline + PPMI
+# ---------------------------------------------------------------------------
+
+
+def test_batch_topk_equals_per_query_brute_force(spark):
+    import numpy as np
+
+    from comm_detect_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % 13 == 0)  # 0, 13, 26, 39
+    batch = {}
+    for r in brute_force_topk_batch(emb, queries, k=4).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["id"], r["cosine"])
+        )
+    for qid, vec in [(r["vec_id"], r["embedding"]) for r in queries.collect()]:
+        single = [
+            (i + 1, r["id"], r["cosine"])
+            for i, r in enumerate(brute_force_topk(emb, vec, k=4).collect())
+        ]
+        assert sorted(batch[qid]) == single, qid
+
+
+def test_batch_topk_plan_windowgrouplimit_and_broadcast(spark):
+    """The rnk <= k filter must push top-k into the per-partition sort
+    (WindowGroupLimit) and the query side must broadcast — the two plan
+    properties that make the one-pass batch shape hold at corpus scale."""
+    from tests.test_plans import plan_of
+
+    from comm_detect_spark.operators.similarity import brute_force_topk_batch
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(brute_force_topk_batch(emb, emb.limit(2), k=2))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ppmi_exact_tiny(spark):
+    from comm_detect_spark.operators.walks import ppmi_scores
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 4), (1, 3, 1), (2, 1, 4), (3, 1, 1)],
+        "center long, context long, cnt long",
+    )
+    # N=10; margins: center 1->5, 2->4, 3->1; context 2->4, 3->1, 1->5
+    got = {
+        (r["center"], r["context"]): r["ppmi"]
+        for r in ppmi_scores(pairs).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(round(max(0.0, math.log(4 * 10 / (5 * 4))), 6))
+    assert got[(2, 1)] == pytest.approx(round(max(0.0, math.log(4 * 10 / (4 * 5))), 6))
+    assert got[(1, 3)] == pytest.approx(round(max(0.0, math.log(1 * 10 / (5 * 1))), 6))
+    # negative PMI clamps to 0: construct one
+    assert all(v >= 0 for v in got.values())
+
+
+def test_ppmi_min_count_and_clamp(spark):
+    from comm_detect_spark.operators.walks import ppmi_scores
+
+    # (1,2) has pmi ln(1*N/(n_c*n_x)) with big margins -> negative -> 0
+    pairs = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 9), (4, 2, 9)],
+        "center long, context long, cnt long",
+    )
+    got = {
+        (r["center"], r["context"]): r["ppmi"]
+        for r in ppmi_scores(pairs, min_count=1).collect()
+    }
+    # N=19, n_c(1)=10, n_x(2)=10 -> ln(19/100) < 0 -> clamped
+    assert got[(1, 2)] == 0.0
+    filtered = ppmi_scores(pairs, min_count=2).collect()
+    assert all(r["cnt"] >= 2 for r in filtered)
