@@ -18,6 +18,15 @@ the compositions a 100 TB corpus run actually launches:
     # benchmark decontamination report (id, hits, contaminated):
     ... --task decontaminate --benchmark /data/evalset.parquet ...
 
+    # graded n-gram-overlap contamination scores (id, n_shingles, n_hit,
+    # contamination):
+    ... --task contamination --benchmark /data/evalset.parquet --ngram 13 ...
+
+    # exact batch ANN top-k over an embedding table (query_id, id,
+    # cosine, rnk):
+    ... --task ann-batch --docs /data/embeddings.parquet \
+        --queries /data/query_vecs.parquet --topk 10 ...
+
     # deterministic train/val(/test) assignment:
     ... --task split --splits train:0.9,val:0.1 ...
 
@@ -39,7 +48,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", required=True,
                     choices=["dedup", "stats", "ivf-index", "decontaminate",
-                             "split", "shards", "quality-filter"])
+                             "contamination", "split", "shards",
+                             "quality-filter", "ann-batch"])
     ap.add_argument("--docs", required=True,
                     help="documents parquet (doc_id, text) or, for ivf-index, "
                          "embeddings parquet (vec_id, embedding)")
@@ -68,6 +78,11 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--shard-tokens", type=int, default=1_000_000,
                     help="shards: token budget per training shard")
+    ap.add_argument("--queries",
+                    help="ann-batch: parquet of query vectors "
+                         "(--vec-id-col, --vec-col columns)")
+    ap.add_argument("--topk", type=int, default=10,
+                    help="ann-batch: neighbors per query")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"corpus-{args.task}").getOrCreate()
@@ -127,6 +142,29 @@ def main():
         )
         hash_split(
             docs, id_col=args.id_col, fractions=fracs, seed=args.seed
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.task == "contamination":
+        from comm_detect_spark.operators.dedup import ngram_contamination
+
+        if not args.benchmark:
+            ap.error("--task contamination requires --benchmark")
+        bench = spark.read.parquet(args.benchmark)
+        ngram_contamination(
+            docs, bench, id_col=args.id_col, text_col=args.text_col,
+            bench_text_col=args.text_col, n=args.ngram,
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.task == "ann-batch":
+        from comm_detect_spark.operators.similarity import (
+            brute_force_topk_batch,
+        )
+
+        if not args.queries:
+            ap.error("--task ann-batch requires --queries")
+        queries = spark.read.parquet(args.queries)
+        brute_force_topk_batch(
+            docs, queries, k=args.topk,
+            id_col=args.vec_id_col, vec_col=args.vec_col,
+            query_id_col=args.vec_id_col, query_vec_col=args.vec_col,
         ).write.mode("overwrite").parquet(args.out)
     elif args.task == "shards":
         from comm_detect_spark.functions.text import token_count

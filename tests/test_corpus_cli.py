@@ -82,3 +82,40 @@ def test_cli_split_and_shards(spark, tmp_path, run_cli):
     ).collect()[0][0]
     last = rows[-1]
     assert last["start_offset"] < total
+
+
+def test_cli_contamination(spark, tmp_path, run_cli):
+    docs_p = str(tmp_path / "docs_c.parquet")
+    bench_p = str(tmp_path / "bench_c.parquet")
+    out_p = str(tmp_path / "contam")
+    _docs(spark).write.mode("overwrite").parquet(docs_p)
+    spark.createDataFrame(
+        [(100, "beta gamma delta")], "doc_id BIGINT, text STRING"
+    ).write.mode("overwrite").parquet(bench_p)
+    run_cli("--task", "contamination", "--docs", docs_p,
+            "--benchmark", bench_p, "--ngram", "3", "--out", out_p)
+    got = {r["id"]: r["contamination"]
+           for r in spark.read.parquet(out_p).collect()}
+    # docs 0/1: shingles of 6 words = 4; "beta gamma delta" is 1 of them
+    assert got[0] == got[1] == 0.25
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_cli_ann_batch(spark, tmp_path, run_cli):
+    emb_p = str(tmp_path / "emb.parquet")
+    q_p = str(tmp_path / "qv.parquet")
+    out_p = str(tmp_path / "annb")
+    rows = [(i, [1.0, float(i)]) for i in range(6)]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(emb_p)
+    spark.createDataFrame(
+        rows[:1], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(q_p)
+    run_cli("--task", "ann-batch", "--docs", emb_p, "--queries", q_p,
+            "--topk", "2", "--out", out_p)
+    got = sorted(
+        (r["rnk"], r["id"]) for r in spark.read.parquet(out_p).collect()
+    )
+    # query (1,0): best cosine is itself, then (1,1)
+    assert got == [(1, 0), (2, 1)]
