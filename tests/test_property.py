@@ -259,3 +259,125 @@ def test_histogram_counts_partition_the_input(spark, vals):
 
     want = Counter(math.floor(v / 2.5) for v in vals)
     assert {r["bin"]: r["cnt"] for r in h} == dict(want)
+
+
+@st.composite
+def _word_texts(draw):
+    words = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    )
+    n_docs = draw(st.integers(1, 4))
+    return [
+        (i, " ".join(draw(st.lists(words, min_size=0, max_size=12))))
+        for i in range(n_docs)
+    ]
+
+
+@given(texts=_word_texts())
+@settings(**_SETTINGS)
+def test_winnow_matches_python_replay_random_texts(spark, texts):
+    """Winnowing == the pure-Python replay (hash set equality per doc) on
+    random word sequences, including empty and shorter-than-k docs."""
+    import hashlib
+    import re
+
+    from comm_detect_spark.operators.dedup import winnow_fingerprints
+
+    def replay(text, k=3, w=4):
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        sh = [
+            " ".join(toks[i : i + k])
+            for i in range(max(len(toks) - k, 0) + 1)
+        ]
+        sh = [s for s in sh if s]
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh
+        ]
+        return {min(hs[i : i + w]) for i in range(len(hs))}
+
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got: dict[int, set[int]] = {i: set() for i, _ in texts}
+    for r in winnow_fingerprints(docs, k=3, w=4).collect():
+        got[r["id"]].add(r["fp"])
+    for doc_id, text in texts:
+        assert got[doc_id] == replay(text), (doc_id, text)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 5), st.integers(0, 5), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_ppmi_matches_python_replay_random_pairs(spark, pairs):
+    """ppmi_scores == a dict replay of max(0, ln(cnt*N/(n_c*n_x))) on
+    random pair tables (duplicate (center, context) rows pre-summed)."""
+    import math
+
+    from comm_detect_spark.operators.walks import ppmi_scores
+
+    agg: dict[tuple[int, int], int] = {}
+    for c, x, n in pairs:
+        agg[(c, x)] = agg.get((c, x), 0) + n
+    df = spark.createDataFrame(
+        [(c, x, n) for (c, x), n in agg.items()],
+        "center long, context long, cnt long",
+    )
+    n_c: dict[int, int] = {}
+    n_x: dict[int, int] = {}
+    for (c, x), n in agg.items():
+        n_c[c] = n_c.get(c, 0) + n
+        n_x[x] = n_x.get(x, 0) + n
+    total = sum(agg.values())
+    got = {
+        (r["center"], r["context"]): r["ppmi"]
+        for r in ppmi_scores(df).collect()
+    }
+    for (c, x), n in agg.items():
+        want = round(
+            max(0.0, math.log((n * float(total)) / (n_c[c] * float(n_x[x])))),
+            6,
+        )
+        assert got[(c, x)] == want, (c, x)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_batch_topk_equals_singles_random_vectors(spark, vecs):
+    from comm_detect_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 2
+    batch: dict[int, list] = {}
+    for r in brute_force_topk_batch(emb, emb.limit(2), k=k).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["id"], r["cosine"])
+        )
+    for qid, vec in [
+        (r["vec_id"], r["embedding"]) for r in emb.limit(2).collect()
+    ]:
+        single = [
+            (i + 1, r["id"], r["cosine"])
+            for i, r in enumerate(brute_force_topk(emb, vec, k=k).collect())
+        ]
+        assert sorted(batch[qid]) == single, qid
