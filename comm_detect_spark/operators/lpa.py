@@ -44,9 +44,16 @@ def lpa_step(
     on dst (one exchange), and both aggregations plus the keep-label join
     run exchange-free on that partitioning — provided ``edges`` is cached
     hash-partitioned on src with the same count (see lpa_sync)."""
-    joined = edges.join(state.withColumnRenamed("vid", "src"), "src").select(
-        "dst", F.col("label").alias("cand"), "weight"
-    )
+    # SHUFFLE_HASH hints on both vertex-state joins (r7, guide §3.1): the
+    # planner otherwise broadcast-joins the label vector whenever its
+    # estimate fits the threshold — a serial driver collect+build+ship of
+    # the full vertex state every sweep (and past the threshold it would
+    # sort-merge, re-sorting the cached edge table per sweep). The hinted
+    # shuffled-hash join keeps the co-partitioned zip join exchange-free
+    # and builds the vertex-sized hash map per partition in parallel.
+    joined = edges.join(
+        state.withColumnRenamed("vid", "src").hint("shuffle_hash"), "src"
+    ).select("dst", F.col("label").alias("cand"), "weight")
     if num_partitions:
         joined = joined.repartition(num_partitions, "dst")
     hist = joined.groupBy(F.col("dst").alias("vid"), F.col("cand")).agg(
@@ -56,7 +63,7 @@ def lpa_step(
     best = hist.groupBy("vid").agg(
         F.max(F.struct(F.col("s"), (-F.col("cand")).alias("neg"))).alias("m")
     )
-    return state.join(best, "vid", "left").select(
+    return state.join(best.hint("shuffle_hash"), "vid", "left").select(
         "vid",
         F.when(
             F.col("m").isNotNull() & (F.col("m.s") > 0), -F.col("m.neg")

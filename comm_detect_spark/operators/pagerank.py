@@ -87,25 +87,62 @@ def pagerank(
     # iterated ranks carried hash(vid, P) -> the per-iteration join and the
     # verts re-join are exchange-free; only the dst aggregation shuffles
     # (with map-side partial agg). One edge-sized exchange per iteration.
+    # Both per-iteration joins carry a SHUFFLE_HASH hint (r7, guide §3.1):
+    # without it the planner broadcast-joins the rank vector whenever its
+    # estimate fits the threshold — a serial driver collect+build+ship of
+    # the FULL vertex state every iteration (and at scale, where the state
+    # can never broadcast, a SortMergeJoin would re-sort the cached edge
+    # table every iteration). The hinted shuffled-hash join keeps the zip
+    # join exchange-free, builds the per-partition hash map from the
+    # vertex-sized side in parallel, and sorts nothing. Measured at
+    # scale-20/ef-12 local[32]: 10 iterations 20.1s -> 14.5s together with
+    # the dangling-flag rewrite below (BENCH/r07/variant2.out).
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
-        verts = vertices.select("vid").distinct().repartition(p, "vid").persist()
+        verts = vertices.select("vid").distinct().persist()
         n = verts.count()
     else:
         assert n is not None
-        # no count(): the dangling materialization below fills this cache
-        verts = vertex_range(spark, n).repartition(p, "vid").persist()
+        # plain distributed range — cheap to rescan, never persisted (r7:
+        # the loop no longer re-joins a vertex table, see below)
+        verts = vertex_range(spark, n)
 
-    wout = out_weights(edges)
-    edges_prep = edges.join(wout, "src").select(
+    # r7 setup shape (guide §2.4): repartition the edge table FIRST, then
+    # derive wout on that partitioning — the out-weight aggregation and the
+    # frac join both ride the ONE edge shuffle (ReuseExchange dedups the
+    # repartition subtree), replacing the old agg-exchange + broadcast-join
+    # + full-repartition chain.
+    e2 = edges.select("src", "dst", "weight").repartition(p, "src")
+    wout = e2.groupBy("src").agg(F.sum("weight").alias("wout"))
+    edges_prep = e2.join(wout.hint("shuffle_hash"), "src").select(
         "src", "dst", (F.col("weight") / F.col("wout")).alias("frac")
-    )
-    edges_prep = edges_prep.repartition(p, "src").persist()
+    ).persist()
     edges_prep.count()
+    # dangling = vertices absent from the distinct-src set; read from the
+    # just-filled edges_prep cache, not a second pass over the input frame
     dangling = verts.join(
-        edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+        edges_prep.select(F.col("src").alias("vid")).distinct(),
+        "vid",
+        "left_anti",
     ).persist()
     has_dangling = dangling.count() > 0
+    # r7: the dangling mass no longer re-joins the (broadcast) dangling set
+    # against the rank vector every iteration — the driver re-collected and
+    # re-broadcast the dangling vids each time. Instead the iterated state
+    # carries a precomputed `dang` flag and dm is ONE conditional agg over
+    # the cached state (same float accumulation order: the semi-join also
+    # streamed the state side). The flag rides the state through the
+    # per-iteration left join, whose base is the previous state itself —
+    # no separately cached vertex table in the loop at all.
+    verts_f = verts.join(
+        dangling.withColumn("_d", F.lit(True)), "vid", "left"
+    ).select("vid", F.coalesce("_d", F.lit(False)).alias("dang"))
+
+    def _release():
+        edges_prep.unpersist()
+        dangling.unpersist()
+        if vertices is not None:
+            verts.unpersist()
 
     resumed = drv.try_resume(spark) if resume else None
     if resumed is not None:
@@ -117,10 +154,8 @@ def pagerank(
         prev_l1 = hist.get(start_it, {}).get("l1_diff")
         if tol is not None and prev_l1 is not None and float(prev_l1) < tol:
             out = drv.finish(start_it)
-            edges_prep.unpersist()
-            dangling.unpersist()
-            verts.unpersist()
-            return out
+            _release()
+            return out.select("vid", "rank")
     elif init is not None:
         # warm start (crawl refresh): continue power iteration from an
         # existing rank vector — e.g. the previous crawl's converged ranks
@@ -130,36 +165,50 @@ def pagerank(
         # iterations the perturbation needs instead of from scratch.
         # Vertices missing from init (newly crawled) start at 1/n.
         ranks = drv.start(
-            verts.join(
+            verts_f.join(
                 init.select("vid", F.col("rank").alias("_ir")), "vid", "left"
-            ).select(
+            )
+            .select(
                 "vid",
+                "dang",
                 F.coalesce("_ir", F.lit(1.0 / n)).alias("rank"),
             )
+            .repartition(p, "vid")
         )
         start_it = 0
     else:
-        ranks = drv.start(verts.withColumn("rank", F.lit(1.0 / n)))
+        ranks = drv.start(
+            verts_f.withColumn("rank", F.lit(1.0 / n)).repartition(p, "vid")
+        )
         start_it = 0
     l1 = None
     it = start_it
     for it in range(start_it + 1, iterations + 1):
         if has_dangling:
             # 1-row DF, broadcast-cross-joined below: keeps the whole
-            # iteration a single Spark job (no driver collect)
-            dm_df = ranks.join(dangling, "vid", "semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            # iteration a single Spark job (no driver collect). The state
+            # carries its dang flag, so this is a bare conditional agg over
+            # the cached state — nothing joins, nothing re-broadcasts.
+            dm_df = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
+                ).alias("dm")
             )
         else:
             dm_df = spark.createDataFrame([(0.0,)], "dm DOUBLE")
-        contribs = edges_prep.join(
-            ranks.withColumnRenamed("vid", "src"), "src"
-        ).select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
+        rside = (
+            ranks.select("vid", "rank")
+            .withColumnRenamed("vid", "src")
+            .hint("shuffle_hash")
+        )
+        contribs = edges_prep.join(rside, "src").select(
+            "dst", (F.col("rank") * F.col("frac")).alias("contrib")
+        )
         if salt:
             # deterministic salt (hash of src) — two-phase agg bounds the
             # per-reducer volume of any hub dst key
             contribs = (
-                edges_prep.join(ranks.withColumnRenamed("vid", "src"), "src")
+                edges_prep.join(rside, "src")
                 .select(
                     "dst",
                     (F.col("rank") * F.col("frac")).alias("contrib"),
@@ -184,10 +233,16 @@ def pagerank(
         else:
             summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
         new_ranks = (
-            verts.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
+            ranks.select("vid", "dang")
+            .join(
+                summed.withColumnRenamed("dst", "vid").hint("shuffle_hash"),
+                "vid",
+                "left",
+            )
             .crossJoin(F.broadcast(dm_df))
             .select(
                 "vid",
+                "dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -201,8 +256,8 @@ def pagerank(
         if tol is not None:
             prepared = drv.prepare(new_ranks, it)
             diff = (
-                prepared.withColumnRenamed("rank", "r2")
-                .join(ranks, "vid")
+                prepared.select("vid", F.col("rank").alias("r2"))
+                .join(ranks.select("vid", "rank"), "vid")
                 .agg(F.sum(F.abs(F.col("r2") - F.col("rank"))))
                 .collect()[0][0]
             )
@@ -213,10 +268,8 @@ def pagerank(
         else:
             ranks = drv.step(new_ranks, it)
     out = drv.finish(it)
-    edges_prep.unpersist()
-    dangling.unpersist()
-    verts.unpersist()
-    return out
+    _release()
+    return out.select("vid", "rank")
 
 
 def personalized_pagerank(

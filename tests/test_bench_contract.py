@@ -75,6 +75,11 @@ def test_bench_stdout_last_line_is_compact_contract_json(tmp_path):
     assert "lpa_sync_rmat_hi" in parsed["queries"]
     hi = detail["throughput"]["rmat_hi"]
     assert hi["scale"] == 11
-    assert parsed["value"] == round((hi["pr_eps"] + hi["lpa_eps"]) / 2.0, 1)
+    # bench.py rounds the mean of the UNROUNDED pr/lpa pair; the sidecar
+    # carries the pair rounded to 0.1. Recomputing from the rounded pair can
+    # land on the other side of a half-ulp boundary (r6: 12363.7 vs 12363.8),
+    # so assert to the rounding granularity instead of exact equality
+    # (VERDICT r6 wrong #1 — double-rounding flake).
+    assert abs(parsed["value"] - (hi["pr_eps"] + hi["lpa_eps"]) / 2.0) <= 0.1
     for cont_key in ("pagerank_eps_s18", "lpa_eps_s18"):
         assert detail["throughput"][cont_key] > 0
