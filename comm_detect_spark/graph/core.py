@@ -33,6 +33,30 @@ def vertex_range(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).select(F.col("id").alias("vid"))
 
 
+def adaptive_partitions(
+    spark: SparkSession,
+    n: int,
+    num_partitions: int | None = None,
+    rows_per_partition: int = 32768,
+) -> int:
+    """Scale-adaptive partition count for vertex-state iteration loops
+    (guide §2: derive partitioning from input size, never a constant tuned
+    to one scale). An explicit ``num_partitions`` always wins; otherwise
+    the count grows with the vertex count (one partition per
+    ``rows_per_partition`` vertices — with typical edge factors that is a
+    few hundred thousand to a few million edge rows per task), floored at
+    ``defaultParallelism`` (every stage stays cluster-wide parallel; r7
+    measured that shrinking tiny local graphs below the thread count COSTS
+    ~25% — scripts/lpa_p_test.py — because the serialized sweep loses more
+    than empty-task scheduling saves) and capped by
+    ``spark.sql.shuffle.partitions``, the cluster-sized ceiling."""
+    if num_partitions:
+        return num_partitions
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    floor = spark.sparkContext.defaultParallelism
+    return max(1, min(conf, max(floor, n // rows_per_partition)))
+
+
 def dense_ids(
     keys: DataFrame, key_col: str, id_col: str = "vid"
 ) -> DataFrame:

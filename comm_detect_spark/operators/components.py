@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from comm_detect_spark.graph.core import vertex_range
+from comm_detect_spark.graph.core import adaptive_partitions, vertex_range
 from comm_detect_spark.plans.driver import IterationDriver
 
 
@@ -63,12 +63,17 @@ def connected_components(
     drv = driver or IterationDriver()
     if rounds is not None:
         max_iter = rounds
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
-        verts = vertices.select("vid").distinct()
+        verts = vertices.select("vid").distinct().persist()
+        n = verts.count()
     else:
         assert n is not None
         verts = vertex_range(spark, n)
+    # scale-adaptive partition count (guide §2): grows with the graph,
+    # capped by spark.sql.shuffle.partitions — tiny graphs stop paying 32
+    # near-empty tasks per round (the vertex count costs one agg job when
+    # an explicit vertex table is passed; it buys every round back)
+    p = adaptive_partitions(spark, n, num_partitions)
     e = edges.select("src", "dst").repartition(p, "src").persist()
     e.count()
 
@@ -77,6 +82,8 @@ def connected_components(
         comp, start_it, hist = resumed
         if int(hist.get(start_it, {}).get("changed", 1)) == 0:
             e.unpersist()
+            if vertices is not None:
+                verts.unpersist()
             return drv.finish(start_it)
     elif init is not None:
         # warm start: least(vid, old label), stale labels dropped (see
@@ -102,12 +109,20 @@ def connected_components(
         start_it = 0
     it = start_it
     for it in range(start_it + 1, max_iter + 1):
+        # SHUFFLE_HASH hints (r7, guide §3.1): keep the co-partitioned zip
+        # joins exchange-free without per-round driver broadcasts of the
+        # component state (and without sort-merge re-sorting the cached
+        # edge table past the broadcast threshold). The pointer-jump join
+        # below deliberately keeps the AQE-broadcast design instead.
         nbr_min = (
-            e.join(comp.withColumnRenamed("vid", "src"), "src")
+            e.join(
+                comp.withColumnRenamed("vid", "src").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        merged = comp.join(nbr_min, "vid", "left").select(
+        merged = comp.join(nbr_min.hint("shuffle_hash"), "vid", "left").select(
             "vid",
             F.least(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
@@ -164,4 +179,6 @@ def connected_components(
             )
     out = drv.finish(it)
     e.unpersist()
+    if vertices is not None:
+        verts.unpersist()
     return out

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from comm_detect_spark.graph.core import (
+    adaptive_partitions,
     dense_ids,
     vertex_range,
     volumes_df,
@@ -188,7 +189,12 @@ def _local_move(
     resume: bool = False,
 ) -> tuple[DataFrame, int]:
     drv = driver or IterationDriver()
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive partition count (guide §2; graph/core.py): the
+    # vertex/edge exchanges per sweep grow with the graph and are capped
+    # by the conf ceiling — a 1e4-vertex level stops paying 32 near-empty
+    # tasks per exchange. NOT output-changing (unlike num_blocks): the
+    # kernel cogroups by block, never by partition.
+    p = adaptive_partitions(spark, n)
     threshold = int(n * eps)
     # the block decomposition is OUTPUT-CHANGING (Jacobi block structure,
     # freeze schedule): pin it in the store so a resume launched on a
@@ -478,7 +484,7 @@ def _louvain_level(
     spark, edges, n, w_net, eps, num_blocks, max_levels, max_sweeps,
     driver_factory, level, frontier=True, resume=False,
 ):
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = adaptive_partitions(spark, n)
     e = edges.repartition(p, "src").persist()
     e.count()
     drv = driver_factory() if driver_factory else None

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from comm_detect_spark.graph.core import vertex_range
+from comm_detect_spark.graph.core import adaptive_partitions, vertex_range
 from comm_detect_spark.plans.driver import IterationDriver
 
 
@@ -93,15 +93,18 @@ def lpa_sync(
     the latest snapshot, reseeding the stopping-rule counters from the
     store's per-iteration metrics."""
     drv = driver or IterationDriver()
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.repartition(p, "src").persist()
-    e.count()
     if vertices is not None:
         verts = vertices.select("vid").distinct()
         n = verts.count()
     else:
         assert n is not None
         verts = vertex_range(spark, n)
+    # scale-adaptive partition count (guide §2): grows with the graph,
+    # capped by spark.sql.shuffle.partitions — a 1e3-vertex test graph no
+    # longer pays 32 near-empty tasks per stage
+    p = adaptive_partitions(spark, n, num_partitions)
+    e = edges.repartition(p, "src").persist()
+    e.count()
     threshold = int(n * eps)
     resumed = drv.try_resume(spark) if resume else None
     if resumed is not None:

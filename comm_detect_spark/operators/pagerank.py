@@ -28,7 +28,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from comm_detect_spark.graph.core import out_weights, vertex_range
+from comm_detect_spark.graph.core import (
+    adaptive_partitions,
+    out_weights,
+    vertex_range,
+)
 from comm_detect_spark.plans.driver import IterationDriver
 
 
@@ -97,7 +101,6 @@ def pagerank(
     # vertex-sized side in parallel, and sorts nothing. Measured at
     # scale-20/ef-12 local[32]: 10 iterations 20.1s -> 14.5s together with
     # the dangling-flag rewrite below (BENCH/r07/variant2.out).
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
         verts = vertices.select("vid").distinct().persist()
         n = verts.count()
@@ -106,6 +109,7 @@ def pagerank(
         # plain distributed range — cheap to rescan, never persisted (r7:
         # the loop no longer re-joins a vertex table, see below)
         verts = vertex_range(spark, n)
+    p = adaptive_partitions(spark, n, num_partitions)
 
     # r7 setup shape (guide §2.4): repartition the edge table FIRST, then
     # derive wout on that partitioning — the out-weight aggregation and the
@@ -296,63 +300,83 @@ def personalized_pagerank(
     nothing new shuffles. Matches oracle.personalized_pagerank to 1e-6.
     """
     drv = driver or IterationDriver()
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if vertices is not None:
-        verts = vertices.select("vid").distinct().repartition(p, "vid").persist()
+        verts = vertices.select("vid").distinct().persist()
         n = verts.count()
     else:
         assert n is not None
-        verts = vertex_range(spark, n).repartition(p, "vid").persist()
+        verts = vertex_range(spark, n)
+    p = adaptive_partitions(spark, n, num_partitions)
     seed_df = seeds.select("vid").distinct().persist()
     n_seeds = seed_df.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+
+    # r7: same loop shape as pagerank() — one edge shuffle in setup
+    # (ReuseExchange over the src repartition), dangling derived from the
+    # filled cache, reset/dang flags carried IN the iterated state (the
+    # per-iteration left-join base is the previous state), SHUFFLE_HASH
+    # hints on both per-iteration joins.
+    e2 = edges.select("src", "dst", "weight").repartition(p, "src")
+    wout = e2.groupBy("src").agg(F.sum("weight").alias("wout"))
+    edges_prep = e2.join(wout.hint("shuffle_hash"), "src").select(
+        "src", "dst", (F.col("weight") / F.col("wout")).alias("frac")
+    ).persist()
+    edges_prep.count()
+    dangling = verts.join(
+        edges_prep.select(F.col("src").alias("vid")).distinct(),
+        "vid",
+        "left_anti",
+    ).persist()
+    has_dangling = dangling.count() > 0
     vreset = (
         verts.join(
             F.broadcast(seed_df.withColumn("_s", F.lit(1.0))), "vid", "left"
         )
+        .join(dangling.withColumn("_d", F.lit(True)), "vid", "left")
         .select(
             "vid",
             (F.coalesce(F.col("_s"), F.lit(0.0)) / F.lit(float(n_seeds))).alias(
                 "reset"
             ),
+            F.coalesce("_d", F.lit(False)).alias("dang"),
         )
-        .repartition(p, "vid")
-        .persist()
     )
-    vreset.count()
 
-    wout = out_weights(edges)
-    edges_prep = (
-        edges.join(wout, "src")
-        .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
-        .repartition(p, "src")
-        .persist()
+    ranks = drv.start(
+        vreset.withColumn("rank", F.col("reset")).repartition(p, "vid")
     )
-    edges_prep.count()
-    dangling = verts.join(
-        edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
-    ).persist()
-    has_dangling = dangling.count() > 0
-
-    ranks = drv.start(vreset.select("vid", F.col("reset").alias("rank")))
     it = 0
     for it in range(1, iterations + 1):
         if has_dangling:
-            dm_df = ranks.join(dangling, "vid", "semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            dm_df = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
+                ).alias("dm")
             )
         else:
             dm_df = spark.createDataFrame([(0.0,)], "dm DOUBLE")
-        contribs = edges_prep.join(
-            ranks.withColumnRenamed("vid", "src"), "src"
-        ).select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
+        rside = (
+            ranks.select("vid", "rank")
+            .withColumnRenamed("vid", "src")
+            .hint("shuffle_hash")
+        )
+        contribs = edges_prep.join(rside, "src").select(
+            "dst", (F.col("rank") * F.col("frac")).alias("contrib")
+        )
         summed = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
         new_ranks = (
-            vreset.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
+            ranks.select("vid", "reset", "dang")
+            .join(
+                summed.withColumnRenamed("dst", "vid").hint("shuffle_hash"),
+                "vid",
+                "left",
+            )
             .crossJoin(F.broadcast(dm_df))
             .select(
                 "vid",
+                "reset",
+                "dang",
                 (
                     F.lit(1.0 - damping) * F.col("reset")
                     + F.lit(damping)
@@ -367,10 +391,10 @@ def personalized_pagerank(
     out = drv.finish(it)
     edges_prep.unpersist()
     dangling.unpersist()
-    vreset.unpersist()
     seed_df.unpersist()
-    verts.unpersist()
-    return out
+    if vertices is not None:
+        verts.unpersist()
+    return out.select("vid", "rank")
 
 
 def pagerank_trace(
@@ -393,9 +417,14 @@ def pagerank_trace(
     traffic is one scalar per iteration (the banked trace row), same
     collect class as the tol-mode l1 probe. Frames persist one iteration
     and are released; output is `iterations` rows."""
-    verts = vertices.select("vid").distinct()
+    # r7: persist the vertex set — the incoming frame is typically an
+    # unmaterialized distinct over a full derivation pipeline, and the old
+    # loop re-ran that pipeline inside EVERY iteration's join base (plus
+    # twice more for the dangling/init builds)
+    verts = vertices.select("vid").distinct().persist()
     n = verts.count()
     if n == 0:
+        verts.unpersist()
         return spark.createDataFrame([], "iter INT, l1_delta DOUBLE")
     wout = edges.groupBy("src").agg(F.sum("weight").alias("wout"))
     edges_prep = (
@@ -403,28 +432,52 @@ def pagerank_trace(
         .select("src", "dst", (F.col("weight") / F.col("wout")).alias("frac"))
         .persist()
     )
+    edges_prep.count()
     # persisted like pagerank()'s: the left_anti derivation is an
-    # edge-sized distinct that must not re-run every iteration
+    # edge-sized distinct that must not re-run every iteration; reads the
+    # just-filled edges_prep cache, not the raw input pipeline
     dangling = verts.join(
-        edges.select(F.col("src").alias("vid")).distinct(), "vid", "left_anti"
+        edges_prep.select(F.col("src").alias("vid")).distinct(),
+        "vid",
+        "left_anti",
     ).persist()
-    ranks = verts.withColumn("rank", F.lit(1.0 / n)).persist()
+    # r7: the dang flag rides the state (pagerank() shape) — the dangling
+    # mass becomes one conditional agg over the cached state instead of a
+    # per-iteration semi-join against a re-broadcast dangling set, and the
+    # per-iteration left-join base is the previous state, so the vertex
+    # distinct is never recomputed inside the loop
+    ranks = (
+        verts.join(dangling.withColumn("_d", F.lit(True)), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("_d", F.lit(False)).alias("dang"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+        .persist()
+    )
     rows = []
     for it in range(1, iterations + 1):
-        dm_df = ranks.join(dangling, "vid", "semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        dm_df = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
         )
         summed = (
-            edges_prep.join(ranks.withColumnRenamed("vid", "src"), "src")
+            edges_prep.join(
+                ranks.select("vid", "rank").withColumnRenamed("vid", "src"),
+                "src",
+            )
             .select("dst", (F.col("rank") * F.col("frac")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
         new_ranks = (
-            verts.join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
+            ranks.select("vid", "dang")
+            .join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
             .crossJoin(F.broadcast(dm_df))
             .select(
                 "vid",
+                "dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -437,18 +490,26 @@ def pagerank_trace(
             .persist()
         )
         l1 = (
-            new_ranks.join(
-                ranks.select("vid", F.col("rank").alias("prev")), "vid"
-            )
+            new_ranks.select("vid", "rank")
+            .join(ranks.select("vid", F.col("rank").alias("prev")), "vid")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
             .collect()[0]["l1"]
         )
         rows.append((it, float(l1)))
+        # truncate lineage every iteration (plans/driver.py discipline):
+        # the state feeds three branches of the next plan (join base, rank
+        # side, dangling agg), so the untruncated logical tree grows 3^t
+        # and Catalyst analysis dominates by iteration 4 (measured 0.4 ->
+        # 7.8 s/iter, scripts/debug_trace.py). The eager checkpoint reads
+        # the cache the l1 job just filled — one vertex-sized job.
+        chk = new_ranks.localCheckpoint(eager=True)
         ranks.unpersist()
-        ranks = new_ranks
+        new_ranks.unpersist()
+        ranks = chk
     ranks.unpersist()
     edges_prep.unpersist()
     dangling.unpersist()
+    verts.unpersist()
     return spark.createDataFrame(rows, "iter INT, l1_delta DOUBLE").select(
         "iter", F.round("l1_delta", 9).alias("l1_delta")
     )
