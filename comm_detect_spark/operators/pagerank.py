@@ -441,11 +441,16 @@ def pagerank_trace(
         "vid",
         "left_anti",
     ).persist()
-    # r7: the dang flag rides the state (pagerank() shape) — the dangling
-    # mass becomes one conditional agg over the cached state instead of a
-    # per-iteration semi-join against a re-broadcast dangling set, and the
-    # per-iteration left-join base is the previous state, so the vertex
-    # distinct is never recomputed inside the loop
+    # r7: the dang flag rides the state; the per-iteration left-join base
+    # is the previous state (the vertex distinct is never recomputed in
+    # the loop); the dangling mass for iteration t+1 is collected as a
+    # SECOND scalar of iteration t's l1 action and enters the next plan as
+    # a literal — no dm subtree, no per-iteration broadcast, and the l1
+    # delta itself is a carried `prev` column, so the action aggregates
+    # only the state being cached. The old state appears exactly twice in
+    # each new plan (rank side + join base) vs three times before — plan
+    # growth 2^t instead of 3^t over the (small, diagnostic) iteration
+    # budget, measured 7.2 -> ~4 s at sf0.1 (scripts/debug_trace.py).
     ranks = (
         verts.join(dangling.withColumn("_d", F.lit(True)), "vid", "left")
         .select(
@@ -455,13 +460,15 @@ def pagerank_trace(
         )
         .persist()
     )
-    rows = []
-    for it in range(1, iterations + 1):
-        dm_df = ranks.agg(
+    dm = float(
+        ranks.agg(
             F.coalesce(
                 F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
             ).alias("dm")
-        )
+        ).collect()[0]["dm"]
+    )
+    rows = []
+    for it in range(1, iterations + 1):
         summed = (
             edges_prep.join(
                 ranks.select("vid", "rank").withColumnRenamed("vid", "src"),
@@ -472,40 +479,33 @@ def pagerank_trace(
             .agg(F.sum("contrib").alias("s"))
         )
         new_ranks = (
-            ranks.select("vid", "dang")
+            ranks.select("vid", "dang", F.col("rank").alias("prev"))
             .join(summed.withColumnRenamed("dst", "vid"), "vid", "left")
-            .crossJoin(F.broadcast(dm_df))
             .select(
                 "vid",
                 "dang",
+                "prev",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
+                        + F.lit(dm) / F.lit(float(n))
                     )
                 ).alias("rank"),
             )
             .persist()
         )
-        l1 = (
-            new_ranks.select("vid", "rank")
-            .join(ranks.select("vid", F.col("rank").alias("prev")), "vid")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
-            .collect()[0]["l1"]
-        )
-        rows.append((it, float(l1)))
-        # truncate lineage every iteration (plans/driver.py discipline):
-        # the state feeds three branches of the next plan (join base, rank
-        # side, dangling agg), so the untruncated logical tree grows 3^t
-        # and Catalyst analysis dominates by iteration 4 (measured 0.4 ->
-        # 7.8 s/iter, scripts/debug_trace.py). The eager checkpoint reads
-        # the cache the l1 job just filled — one vertex-sized job.
-        chk = new_ranks.localCheckpoint(eager=True)
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"),
+            F.coalesce(
+                F.sum(F.when(F.col("dang"), F.col("rank"))), F.lit(0.0)
+            ).alias("dm"),
+        ).collect()[0]
+        dm = float(row["dm"])
+        rows.append((it, float(row["l1"])))
         ranks.unpersist()
-        new_ranks.unpersist()
-        ranks = chk
+        ranks = new_ranks
     ranks.unpersist()
     edges_prep.unpersist()
     dangling.unpersist()

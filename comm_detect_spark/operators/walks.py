@@ -83,8 +83,10 @@ def random_walks(
             f" cast(dst as string))), 1, 15), 16, 10), dst)"
         )
         e = e.withColumn("_rn", w).where(F.col("_rn") <= max_degree).drop("_rn")
-    # the adjacency is referenced by every step's join — persist it or the
-    # groupBy/sort_array subplan recomputes walk_length times
+    # the adjacency is referenced by every step's join — without the
+    # persist the groupBy/sort_array subplan appears walk_length times in
+    # the final plan (ReuseExchange dedups the execution, but the analyzed
+    # tree still repeats it)
     adj = e.groupBy("src").agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs")
     ).persist()
@@ -98,13 +100,19 @@ def random_walks(
     reps = verts.sparkSession.range(walks_per_vertex).select(
         F.col("id").alias("rep")
     )
-    frontier = verts.crossJoin(F.broadcast(reps)).select(
+    # r7 (VERDICT r6 #5): the walk rides the frontier as a PATH ARRAY —
+    # each step left-joins the adjacency and appends the picked vertex, a
+    # stopped walk (no out-edges: nbrs null) simply stops growing — and the
+    # final (walk_id, step, vid) table is ONE posexplode of the last
+    # frontier. The old shape materialized a per-step cache plus an L+1-
+    # branch union and needed an eager-checkpoint epilogue to release the
+    # caches (1.6-2.1x on sub-2 s bench keys); this one is a single linear
+    # chain with no per-step caches and no epilogue — the caller's action
+    # evaluates it once, end to end.
+    state = verts.crossJoin(F.broadcast(reps)).select(
         (F.col("vid") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.array(F.col("vid")).alias("path"),
         F.col("vid").alias("v"),
-    )
-
-    out = frontier.select(
-        "walk_id", F.lit(0).cast("int").alias("step"), F.col("v").alias("vid")
     )
     for t in range(1, walk_length + 1):
         h = _h60(
@@ -114,35 +122,19 @@ def random_walks(
                 F.lit(f":{t}"),
             )
         )
-        # persist each step's frontier: the output union holds one branch
-        # per step and branch t's plan CONTAINS the whole step-1..t join
-        # chain — unpersisted, executing the union recomputes O(L^2)
-        # joins (measured: L1/L2/L3 = 7/20/41 exchanges); cached, each
-        # frontier computes once and later branches read memory
-        frontier = (
-            frontier.join(adj, frontier.v == adj.src)
-            .select(
-                "walk_id",
-                F.element_at(
-                    "nbrs", (h % F.size("nbrs") + 1).cast("int")
-                ).alias("v"),
-            )
-        ).persist()
-        cached.append(frontier)
-        out = out.unionAll(
-            frontier.select(
-                "walk_id",
-                F.lit(t).cast("int").alias("step"),
-                F.col("v").alias("vid"),
-            )
+        nxt = F.element_at("nbrs", (h % F.size("nbrs") + 1).cast("int"))
+        state = state.join(adj, state.v == adj.src, "left").select(
+            "walk_id",
+            F.when(F.col("nbrs").isNotNull(), F.array_append("path", nxt))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            F.when(F.col("nbrs").isNotNull(), nxt).alias("v"),
         )
-        # long walks: cut the frontier's join chain and the union tree
-        # every 8 steps (plan depth otherwise grows O(L) per branch and
-        # O(L^2) nodes total — the driver-loop blowup, plans/driver.py)
+        # long walks: cut the join chain every 8 steps (plan depth grows
+        # O(L) — the driver-loop blowup, plans/driver.py)
         if t % 8 == 0 and t < walk_length:
-            frontier = frontier.localCheckpoint(eager=True)
-            out = out.localCheckpoint(eager=True)
-    return _finish_walks(out, cached)
+            state = state.localCheckpoint(eager=True)
+    return _explode_paths(state, cached)
 
 
 def _finish_walks(out: DataFrame, cached: list[DataFrame]) -> DataFrame:
@@ -155,6 +147,20 @@ def _finish_walks(out: DataFrame, cached: list[DataFrame]) -> DataFrame:
     for df in cached:
         df.unpersist()
     return out
+
+
+def _explode_paths(state: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Path-array epilogue (r7): materialize the COMPACT per-walk state
+    (one row per walk, the path as an array — smaller than the exploded
+    step table the old epilogue checkpointed), release the persisted
+    adjacency, and return the lazy posexplode into (walk_id, step, vid).
+    One vertex-sized materialization, zero lingering caches."""
+    state = state.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return state.select(
+        "walk_id", F.posexplode("path").alias("step", "vid")
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vid")
 
 
 def walks_as_sentences(walks: DataFrame) -> DataFrame:
@@ -225,12 +231,12 @@ def weighted_random_walks(
     reps = verts.sparkSession.range(walks_per_vertex).select(
         F.col("id").alias("rep")
     )
-    frontier = verts.crossJoin(F.broadcast(reps)).select(
+    # r7: path-array frontier, same shape as random_walks — one linear
+    # chain, no per-step caches, one compact materialization at the end
+    state = verts.crossJoin(F.broadcast(reps)).select(
         (F.col("vid") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.array(F.col("vid")).alias("path"),
         F.col("vid").alias("v"),
-    )
-    out = frontier.select(
-        "walk_id", F.lit(0).cast("int").alias("step"), F.col("v").alias("vid")
     )
     for t in range(1, walk_length + 1):
         h = _h60(
@@ -244,23 +250,16 @@ def weighted_random_walks(
         pick = F.element_at(
             F.filter("nbrs", lambda s: s["cumw"] > r), 1
         )["dst"]
-        # persist per step — union branch t replays the whole join chain
-        # otherwise (see random_walks)
-        frontier = frontier.join(adj, frontier.v == adj.src).select(
-            "walk_id", pick.alias("v")
-        ).persist()
-        cached.append(frontier)
-        out = out.unionAll(
-            frontier.select(
-                "walk_id",
-                F.lit(t).cast("int").alias("step"),
-                F.col("v").alias("vid"),
-            )
+        state = state.join(adj, state.v == adj.src, "left").select(
+            "walk_id",
+            F.when(F.col("nbrs").isNotNull(), F.array_append("path", pick))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            F.when(F.col("nbrs").isNotNull(), pick).alias("v"),
         )
         if t % 8 == 0 and t < walk_length:
-            frontier = frontier.localCheckpoint(eager=True)
-            out = out.localCheckpoint(eager=True)
-    return _finish_walks(out, cached)
+            state = state.localCheckpoint(eager=True)
+    return _explode_paths(state, cached)
 
 def node2vec_class_weights(p: float, q: float) -> tuple[int, int, int]:
     """node2vec's (1/p, 1, 1/q) transition biases as exact INTEGERS.
@@ -354,12 +353,12 @@ def node2vec_walks(
     reps = verts.sparkSession.range(walks_per_vertex).select(
         F.col("id").alias("rep")
     )
+    # r7: path-array frontier (see random_walks) — (walk_id, path, u, v),
+    # one linear chain, no per-step caches, compact end materialization
     start = verts.crossJoin(F.broadcast(reps)).select(
         (F.col("vid") * walks_per_vertex + F.col("rep")).alias("walk_id"),
+        F.array(F.col("vid")).alias("path"),
         F.col("vid").alias("v"),
-    )
-    out = start.select(
-        "walk_id", F.lit(0).cast("int").alias("step"), F.col("v").alias("vid")
     )
     zero = F.lit(0).cast("long")
 
@@ -402,29 +401,23 @@ def node2vec_walks(
         return scanned["pick"]
 
     if walk_length < 1:
-        return _finish_walks(out, cached)
+        return _explode_paths(start, cached)
     # step 1: no previous vertex — plain edge-weight bias
     av = adj.select(F.col("src").alias("_vs"), "nbrs")
-    frontier = (
-        start.join(av, start.v == av._vs)
-        .select(
-            "walk_id",
-            F.col("v").alias("u"),
-            pick(lambda s: s["w"], 1).alias("v"),
-        )
-    ).persist()
-    cached.append(frontier)
-    out = out.unionAll(
-        frontier.select(
-            "walk_id", F.lit(1).cast("int").alias("step"),
-            F.col("v").alias("vid"),
-        )
+    p1 = pick(lambda s: s["w"], 1)
+    state = start.join(av, start.v == av._vs, "left").select(
+        "walk_id",
+        F.when(F.col("nbrs").isNotNull(), F.array_append("path", p1))
+        .otherwise(F.col("path"))
+        .alias("path"),
+        F.col("v").alias("u"),
+        F.when(F.col("nbrs").isNotNull(), p1).alias("v"),
     )
     for t in range(2, walk_length + 1):
         au = adj.select(F.col("src").alias("_us"), F.col("ids").alias("uids"))
         fr = (
-            frontier.join(av, frontier.v == av._vs)
-            .join(au, frontier.u == au._us, "left")
+            state.join(av, state.v == av._vs, "left")
+            .join(au, state.u == au._us, "left")
             .withColumn(
                 "inter",
                 F.array_intersect(
@@ -447,23 +440,23 @@ def node2vec_walks(
         # lateral column aliases, so `u` inside wgt would bind to the NEW
         # `v AS u` alias (the current vertex) instead of the frontier's
         # previous-vertex column, silently degrading every class weight
-        frontier = fr.select(
-            "walk_id", "v", pick(wgt, t).alias("_nxt")
-        ).select(
-            "walk_id", F.col("v").alias("u"), F.col("_nxt").alias("v")
-        ).persist()  # union branch t replays the chain otherwise
-        cached.append(frontier)
-        out = out.unionAll(
-            frontier.select(
+        state = (
+            fr.select("walk_id", "path", "v", pick(wgt, t).alias("_nxt"))
+            .select(
                 "walk_id",
-                F.lit(t).cast("int").alias("step"),
-                F.col("v").alias("vid"),
+                F.when(
+                    F.col("_nxt").isNotNull(),
+                    F.array_append("path", F.col("_nxt")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.col("v").alias("u"),
+                F.col("_nxt").alias("v"),
             )
         )
         if t % 8 == 0 and t < walk_length:
-            frontier = frontier.localCheckpoint(eager=True)
-            out = out.localCheckpoint(eager=True)
-    return _finish_walks(out, cached)
+            state = state.localCheckpoint(eager=True)
+    return _explode_paths(state, cached)
 
 
 def skipgram_pairs(

@@ -63,6 +63,10 @@ class IterationDriver:
         self.materialize_every = materialize_every
         self._current: DataFrame | None = None
         self._pending: DataFrame | None = None
+        # feeder cache of a not-yet-materialized lazy localCheckpoint
+        # (install() truncation path); released once the checkpoint blocks
+        # exist — see install()/finish()
+        self._lazy_ckpt_cache: DataFrame | None = None
 
     def start(self, state: DataFrame, iteration: int = 0) -> DataFrame:
         self._current = state.persist(self.storage_level)
@@ -100,18 +104,29 @@ class IterationDriver:
         return new_state.persist(self.storage_level)
 
     def install(self, prepared: DataFrame, iteration: int, **metrics) -> DataFrame:
-        """Swap in a state returned by prepare() after the caller's action."""
+        """Swap in a state returned by prepare() after the caller's action.
+
+        r7 (guide §1/§5): on truncation iterations the lineage cut is a
+        LAZY localCheckpoint — the next iteration's own action (or
+        finish()) materializes the checkpoint blocks straight out of the
+        cache the caller's action just filled, so the dedicated
+        read-cache-write-blocks job the eager cut used to run per
+        iteration disappears. The pre-checkpoint cache must stay alive
+        until that materialization happens, so its release is deferred to
+        the next install()/finish() (``_lazy_ckpt_cache``)."""
         truncate = iteration % self.checkpoint_every == 0
         pre_ckpt = None
         if truncate and self.store is None:
             pre_ckpt = prepared
-            # reads the just-filled cache; replaces the plan with the
-            # materialized RDD (lineage cut)
-            prepared = prepared.localCheckpoint(eager=True)
+            prepared = prepared.localCheckpoint(eager=False)
         if self._current is not None:
             self._current.unpersist()
-        if pre_ckpt is not None:
-            pre_ckpt.unpersist()
+        if self._lazy_ckpt_cache is not None:
+            # the previous lazy checkpoint has been materialized by the
+            # caller's action this iteration — its feeder cache can go
+            self._lazy_ckpt_cache.unpersist()
+            self._lazy_ckpt_cache = None
+        self._lazy_ckpt_cache = pre_ckpt
         self._current = prepared
         if self.store is not None:
             self.store.log_metric(iteration, **metrics)
@@ -158,6 +173,12 @@ class IterationDriver:
             self._pending = None
             self.install(prepared, iteration)
         assert self._current is not None
+        if self._lazy_ckpt_cache is not None:
+            # the loop ended right after a lazy truncation: materialize the
+            # checkpoint from the still-live cache, then release it
+            self._current.count()
+            self._lazy_ckpt_cache.unpersist()
+            self._lazy_ckpt_cache = None
         if self.store is not None:
             final = self.store.save_state(self._current, iteration)
             self.store.log_metric(iteration, final=True, **metrics)
