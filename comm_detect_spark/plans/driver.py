@@ -144,22 +144,18 @@ class IterationDriver:
         ):
             self._pending = new_state
             return new_state
-        if (
-            self.store is None
-            and iteration % self.checkpoint_every == 0
-        ):
-            # r7 (guide §1/§5): fold materialization into the eager local
-            # checkpoint — ONE job computes the state and stores its blocks.
-            # The previous shape paid two jobs per truncation iteration:
-            # persist+count to fill the cache, then a second localCheckpoint
-            # job re-reading that cache (measured 0.3-1.4 s/truncation at
-            # scale-20, scripts/profile_iter.py).
-            prepared = new_state.localCheckpoint(eager=True)
-            if self._current is not None:
-                self._current.unpersist()
-            self._current = prepared
-            self._pending = None
-            return prepared
+        # NOTE (r7): a "fold" that localCheckpoint(eager)s the RAW new_state
+        # directly (skipping prepare+count) was tried and REVERTED: the
+        # checkpointed LogicalRDD then inherits the raw tree's ESTIMATED
+        # stats, which compound multiplicatively across iterations (each
+        # round's leaf stats are the previous round's product), until the
+        # optimizer's stats arithmetic (InjectRuntimeFilter size checks)
+        # grinds on million-bit BigIntegers — test_mis went from ~50 s to
+        # a multi-hour hang. Going through prepare+count first means the
+        # checkpoint wraps the MATERIALIZED cache, whose real, bounded
+        # size resets the stats every iteration; the lazy cut in install()
+        # already makes the checkpoint job-free, so one job per iteration
+        # is achieved without the fold.
         prepared = self.prepare(new_state, iteration)
         prepared.count()
         self._pending = None
